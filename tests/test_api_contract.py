@@ -51,11 +51,11 @@ def _field_entry(field) -> dict:
         type_name = _TYPE_NAMES[field.type]
         label = "singular"
     if label == "singular":
-        is_repeated = (
-            field.is_repeated()
-            if hasattr(field, "is_repeated")
-            else field.label == field.LABEL_REPEATED
-        )
+        is_repeated = getattr(field, "is_repeated", None)
+        if callable(is_repeated):
+            is_repeated = is_repeated()
+        if is_repeated is None:
+            is_repeated = field.label == field.LABEL_REPEATED
         if is_repeated:
             label = "repeated"
         elif field.has_presence and field.containing_oneof is not None:
