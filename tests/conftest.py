@@ -9,11 +9,21 @@ process, which is why they live here rather than in a fixture.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even though the image exports JAX_PLATFORMS=axon (TPU tunnel):
+# unit tests must be hermetic and fast. The image's sitecustomize imports jax
+# at interpreter start, so env vars alone are too late — use config.update,
+# which works because no backend has been initialized yet at conftest time.
+# STT_TEST_PLATFORM overrides for on-device test sessions.
+_platform = os.environ.get("STT_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
