@@ -1,0 +1,133 @@
+"""JAX Whisper model tests on the micro 'test' config (CPU, random weights)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stt_tpu.models import whisper as W
+from stt_tpu.ops.mel import log_mel_spectrogram
+
+CFG = W.PRESETS["test"]
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return W.init_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def enc_out(params):
+    audio = (0.1 * RNG.standard_normal(16000)).astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(audio))[None]
+    return W.encode(params, mel, CFG.n_audio_head)
+
+
+def _decode(params, enc, max_new=10, batch=1):
+    prompt = np.tile(np.array([W.build_prompt(CFG, "en")], np.int32), (batch, 1))
+    cache = W.init_kv_cache(CFG, batch, 48)
+    enc_b = jnp.tile(enc, (batch, 1, 1))
+    return W.greedy_decode(
+        params,
+        enc_b,
+        jnp.asarray(prompt),
+        jnp.full((batch,), prompt.shape[1], jnp.int32),
+        cache,
+        CFG,
+        CFG.n_text_head,
+        max_new_tokens=max_new,
+    )
+
+
+def test_encoder_shape_and_determinism(params):
+    audio = (0.1 * RNG.standard_normal(32000)).astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(audio))[None]
+    e1 = W.encode(params, mel, CFG.n_audio_head)
+    e2 = W.encode(params, mel, CFG.n_audio_head)
+    assert e1.shape == (1, 100, CFG.n_audio_state)
+    assert np.array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_greedy_matches_teacher_forced_oracle(params, enc_out):
+    """KV-cached while_loop decode must equal step-by-step full forward."""
+    res = _decode(params, enc_out, max_new=8)
+    layout = W.token_layout(CFG.n_vocab)
+    suppress = np.zeros(CFG.n_vocab, np.float32)
+    suppress[layout.sot :] = -np.inf
+    suppress[layout.eot] = 0.0
+
+    tokens = list(W.build_prompt(CFG, "en"))
+    for _ in range(8):
+        logits = W.decoder_forward(
+            params, jnp.asarray([tokens], jnp.int32), enc_out, CFG.n_text_head
+        )
+        nxt = int(np.argmax(np.asarray(logits[0, -1]) + suppress))
+        tokens.append(nxt)
+        if nxt == layout.eot:
+            break
+    got = np.asarray(res.tokens[0, : len(tokens)])
+    assert list(got) == tokens
+
+
+def test_decode_batch_consistency(params, enc_out):
+    single = _decode(params, enc_out, max_new=8, batch=1)
+    batched = _decode(params, enc_out, max_new=8, batch=4)
+    for row in range(4):
+        assert np.array_equal(
+            np.asarray(batched.tokens[row]), np.asarray(single.tokens[0])
+        )
+        assert int(batched.lengths[row]) == int(single.lengths[0])
+
+
+def test_max_new_tokens_budget(params, enc_out):
+    res = _decode(params, enc_out, max_new=5)
+    p_len = len(W.build_prompt(CFG, "en"))
+    assert int(res.lengths[0]) <= p_len + 5
+
+
+def test_detect_language_distribution(params, enc_out):
+    probs = W.detect_language(params, enc_out, CFG, CFG.n_text_head)
+    layout = W.token_layout(CFG.n_vocab)
+    assert probs.shape == (1, layout.n_langs)
+    assert abs(float(probs.sum()) - 1.0) < 1e-4
+
+
+def test_token_layout_v2_and_v3():
+    v2 = W.token_layout(51865)
+    assert (v2.eot, v2.sot) == (50257, 50258)
+    assert v2.n_langs == 99
+    assert v2.transcribe == 50359
+    assert v2.translate == 50358
+    assert v2.no_speech == 50362
+    assert v2.no_timestamps == 50363
+    assert v2.timestamp_begin == 50364
+    v3 = W.token_layout(51866)
+    assert v3.n_langs == 100
+    assert v3.transcribe == 50360
+    assert v3.timestamp_begin == 50365
+
+
+def test_build_prompt(params):
+    layout = W.token_layout(CFG.n_vocab)
+    p = W.build_prompt(CFG, "ko", task="translate", without_timestamps=True)
+    assert p[0] == layout.sot
+    assert p[1] == layout.lang_begin + W.WHISPER_LANG_CODES.index("ko")
+    assert p[2] == layout.translate
+    assert p[3] == layout.no_timestamps
+    # unknown language falls back to en
+    p2 = W.build_prompt(CFG, "zz")
+    assert p2[1] == layout.lang_begin + W.WHISPER_LANG_CODES.index("en")
+
+
+def test_get_config_aliases():
+    assert W.get_config("whisper-small").name == "small"
+    assert W.get_config("large-v3").n_mels == 128
+    assert W.get_config("tiny.en").name == "tiny"
+    with pytest.raises(ValueError):
+        W.get_config("enormous")
+
+
+def test_decoder_forward_shapes(params, enc_out):
+    tokens = jnp.asarray([[50258, 50259, 50359, 50363, 100, 200]], jnp.int32)
+    logits = W.decoder_forward(params, tokens, enc_out, CFG.n_text_head)
+    assert logits.shape == (1, 6, CFG.n_vocab)
