@@ -1,0 +1,410 @@
+"""WhisperEngine: one device-resident program serving many sessions.
+
+This replaces the reference's thread-per-worker pools (``ModelWorker`` +
+``ModelRegistry`` worker loops, reference ``stt_server/backend/application/
+model_registry.py:564-660`` and ``model/worker.py:24-169``): instead of N
+Python threads each invoking a native library, ONE engine owns jitted XLA
+programs and serves decode requests from every session through a micro-batching
+loop.
+
+Execution model
+---------------
+- Requests enter a queue; the engine thread collects up to ``max_batch`` of
+  them within a ``batch_window_ms`` window, groups compatible requests
+  (same audio-length bucket, same prompt shape), and runs one batched
+  mel -> encode -> greedy-decode pipeline per group.
+- **Static shapes everywhere**: audio is padded to configured second buckets,
+  batch rows to power-of-two buckets, so XLA compiles a small, bounded set of
+  programs (prewarmable) and never recompiles at serving time.
+- Per-row finished flags inside the decode loop make ragged batches cheap:
+  a 1 s partial sharing a batch with a 10 s final stops early and its rows
+  ride along for free.
+- Cooperative cancellation (final-over-partial) is honored at batch-formation
+  time: cancelled tasks are dropped before they cost device time.
+
+Latency: a 100-token greedy decode is ~100 sequential device steps; at small
+batch this is latency-bound, so batching across sessions is nearly free
+throughput — the p95-partial budget is protected by the short batch window
+rather than by giving each session its own device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backends.base import BackendInfo, Segment
+from ..models import whisper as W
+from ..models.tokenizer import load_tokenizer
+from ..ops.mel import HOP_LENGTH, SAMPLE_RATE, log_mel_spectrogram
+
+DEFAULT_AUDIO_BUCKETS_SEC = (1.0, 2.0, 5.0, 10.0, 30.0)
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+
+@dataclass
+class DecodeRequest:
+    audio: np.ndarray                      # float32 mono @ 16 kHz
+    language: Optional[str] = None         # None/"" -> auto-detect
+    task: str = "transcribe"
+    options: Dict[str, Any] = field(default_factory=dict)
+    is_final: bool = False
+    session_id: str = ""
+
+
+@dataclass
+class DecodeOutput:
+    segments: List[Segment]
+    info: BackendInfo
+    inference_sec: float = 0.0
+    batch_rows: int = 0
+    avg_logprob: float = 0.0
+    no_speech_prob: float = 0.0
+
+
+class _Task:
+    __slots__ = ("request", "future", "cancel_event", "enqueued_at")
+
+    def __init__(self, request: DecodeRequest, cancel_event: Optional[threading.Event]):
+        self.request = request
+        self.future: Future = Future()
+        self.cancel_event = cancel_event
+        self.enqueued_at = time.monotonic()
+
+
+def _resolve_device(device: str):
+    """Map config device names onto available JAX devices."""
+    want_cpu = device in ("cpu",)
+    for d in jax.devices():
+        if (d.platform == "cpu") == want_cpu:
+            return d
+    return jax.devices()[0]
+
+
+class WhisperEngine:
+    """Batched Whisper inference on one JAX device (or replica group)."""
+
+    def __init__(
+        self,
+        model_size: str,
+        device: str = "tpu",
+        compute_type: str = "bfloat16",
+        *,
+        weights_path: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        audio_buckets_sec: Sequence[float] = DEFAULT_AUDIO_BUCKETS_SEC,
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        max_decode_tokens: int = 224,
+        batch_window_ms: float = 5.0,
+        max_batch: int = 16,
+        metrics=None,
+        seed: int = 0,
+    ) -> None:
+        self.model_size = model_size
+        self.device_kind = device
+        self.compute_type = compute_type
+        self._device = _resolve_device(device)
+        self._dtype = jnp.bfloat16 if compute_type == "bfloat16" else jnp.float32
+        self._metrics = metrics
+
+        t0 = time.monotonic()
+        if weights_path:
+            params, config = W.load_hf_safetensors(
+                weights_path, dtype=self._dtype
+            )
+        else:
+            config = W.get_config(model_size)
+            params = W.init_params(config, seed=seed, dtype=self._dtype)
+        self.config = config
+        self.params = jax.device_put(params, self._device)
+        jax.block_until_ready(self.params)
+        self.load_seconds = time.monotonic() - t0
+        self.tokenizer = load_tokenizer(tokenizer_path, config.n_vocab)
+        self.layout = W.token_layout(config.n_vocab)
+
+        self.audio_buckets_sec = tuple(sorted(audio_buckets_sec))
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.max_decode_tokens = int(max_decode_tokens)
+        self.batch_window_sec = max(0.0, float(batch_window_ms) / 1000.0)
+        self.max_batch = max(1, int(max_batch))
+
+        self._queue: "queue.Queue[Optional[_Task]]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self._lock = threading.Lock()
+
+    # -- sizing ---------------------------------------------------------------
+
+    def _bucket_for(self, n_samples: int) -> float:
+        seconds = n_samples / SAMPLE_RATE
+        for b in self.audio_buckets_sec:
+            if seconds <= b:
+                return b
+        return self.audio_buckets_sec[-1]
+
+    def _batch_bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
+    def _max_new_for(self, bucket_sec: float) -> int:
+        # ~7.5 tokens/sec of audio at 30 s = 224; round up to a multiple of 8
+        est = int(np.ceil(bucket_sec * self.max_decode_tokens / 30.0 / 8.0)) * 8
+        return int(min(self.max_decode_tokens, max(24, est)))
+
+    # -- public API -----------------------------------------------------------
+
+    def start(self) -> None:
+        with self._lock:
+            if self._running:
+                return
+            self._running = True
+            self._thread = threading.Thread(
+                target=self._loop, name=f"engine-{self.model_size}", daemon=True
+            )
+            self._thread.start()
+
+    def close(self) -> None:
+        with self._lock:
+            if not self._running:
+                return
+            self._running = False
+        self._queue.put(None)
+        if self._thread:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(
+        self,
+        request: DecodeRequest,
+        cancel_event: Optional[threading.Event] = None,
+    ) -> Future:
+        """Queue a request for the batching loop; returns a Future."""
+        self.start()
+        task = _Task(request, cancel_event)
+        self._queue.put(task)
+        return task.future
+
+    def transcribe_sync(self, request: DecodeRequest) -> DecodeOutput:
+        """Run one request immediately on the calling thread (no batching)."""
+        return self._run_group([_Task(request, None)])[0]
+
+    def pending(self) -> int:
+        return self._queue.qsize()
+
+    def prewarm(
+        self,
+        bucket_secs: Optional[Sequence[float]] = None,
+        batch_sizes: Optional[Sequence[int]] = None,
+    ) -> float:
+        """Compile selected (audio-bucket, batch-bucket) programs up front.
+
+        Returns total compile wall-time. Serving never recompiles afterwards
+        for the warmed shapes.
+        """
+        t0 = time.monotonic()
+        for sec in bucket_secs or self.audio_buckets_sec:
+            for bsz in batch_sizes or (self.batch_buckets[0],):
+                audio = np.zeros(int(sec * SAMPLE_RATE), np.float32)
+                reqs = [
+                    _Task(DecodeRequest(audio=audio, language="en"), None)
+                    for _ in range(bsz)
+                ]
+                self._run_group(reqs)
+        elapsed = time.monotonic() - t0
+        if self._metrics is not None:
+            self._metrics.record_engine_compile(elapsed)
+        return elapsed
+
+    # -- batching loop --------------------------------------------------------
+
+    def _loop(self) -> None:
+        while True:
+            try:
+                first = self._queue.get(timeout=0.25)
+            except queue.Empty:
+                if not self._running:
+                    return
+                continue
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.batch_window_sec
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)  # re-post sentinel for outer loop
+                    break
+                batch.append(nxt)
+            self._process(batch)
+            if not self._running and self._queue.empty():
+                return
+
+    def _process(self, batch: List[_Task]) -> None:
+        live: List[_Task] = []
+        for task in batch:
+            if task.cancel_event is not None and task.cancel_event.is_set():
+                task.future.cancel()
+                continue
+            if task.future.set_running_or_notify_cancel():
+                live.append(task)
+        if not live:
+            return
+        # group by (audio bucket, prompt signature length)
+        groups: Dict[Tuple[float, int], List[_Task]] = {}
+        for task in live:
+            bucket = self._bucket_for(len(task.request.audio))
+            p_len = len(self._prompt_for(task.request))
+            groups.setdefault((bucket, p_len), []).append(task)
+        for group in groups.values():
+            try:
+                outputs = self._run_group(group, already_running=True)
+            except Exception as exc:  # propagate to every waiter
+                for task in group:
+                    if not task.future.done():
+                        task.future.set_exception(exc)
+                continue
+            for task, out in zip(group, outputs):
+                if not task.future.done():
+                    task.future.set_result(out)
+
+    # -- the batched decode pipeline ------------------------------------------
+
+    def _prompt_for(self, request: DecodeRequest) -> List[int]:
+        lang = request.language or None
+        return W.build_prompt(
+            self.config,
+            lang if lang else "en",  # placeholder slot; overwritten on detect
+            task=request.task,
+            without_timestamps=bool(
+                request.options.get("without_timestamps", True)
+            ),
+        )
+
+    def _run_group(
+        self, group: List[_Task], already_running: bool = False
+    ) -> List[DecodeOutput]:
+        t_start = time.monotonic()
+        n = len(group)
+        bucket_sec = max(self._bucket_for(len(t.request.audio)) for t in group)
+        bucket_samples = int(bucket_sec * SAMPLE_RATE)
+        # round to hop multiple for exact frame counts
+        bucket_samples -= bucket_samples % HOP_LENGTH
+        batch_n = self._batch_bucket(n)
+
+        rows = np.zeros((batch_n, bucket_samples), np.float32)
+        durations = []
+        for i, task in enumerate(group):
+            audio = task.request.audio
+            if len(audio) > bucket_samples:
+                audio = audio[-bucket_samples:]  # keep trailing window
+            rows[i, : len(audio)] = audio
+            durations.append(len(audio) / SAMPLE_RATE)
+
+        with jax.default_device(self._device):
+            mel = log_mel_spectrogram(
+                jnp.asarray(rows), n_mels=self.config.n_mels
+            ).astype(self._dtype)
+            enc = W.encode(self.params, mel, self.config.n_audio_head)
+
+            needs_detect = any(not t.request.language for t in group)
+            lang_probs = None
+            if needs_detect:
+                lang_probs = np.asarray(
+                    W.detect_language(
+                        self.params, enc, self.config, self.config.n_text_head
+                    ),
+                    dtype=np.float32,
+                )
+
+            prompts, langs, lang_ps = [], [], []
+            for i, task in enumerate(group):
+                lang = task.request.language
+                if not lang:
+                    idx = int(lang_probs[i].argmax())
+                    lang = W.WHISPER_LANG_CODES[idx]
+                    lang_ps.append(float(lang_probs[i, idx]))
+                else:
+                    lang_ps.append(1.0)
+                langs.append(lang)
+                prompts.append(
+                    W.build_prompt(
+                        self.config,
+                        lang,
+                        task=task.request.task,
+                        without_timestamps=bool(
+                            task.request.options.get("without_timestamps", True)
+                        ),
+                    )
+                )
+            p_len = len(prompts[0])
+            prompt_arr = np.full((batch_n, p_len), self.layout.eot, np.int32)
+            for i, p in enumerate(prompts):
+                prompt_arr[i] = p
+
+            max_new = self._max_new_for(bucket_sec)
+            cache = W.init_kv_cache(
+                self.config, batch_n, p_len + max_new, dtype=self._dtype
+            )
+            result = W.greedy_decode(
+                self.params,
+                enc,
+                jnp.asarray(prompt_arr),
+                jnp.full((batch_n,), p_len, jnp.int32),
+                cache,
+                self.config,
+                self.config.n_text_head,
+                max_new_tokens=max_new,
+            )
+            tokens = np.asarray(result.tokens)
+            lengths = np.asarray(result.lengths)
+            sum_lp = np.asarray(result.sum_logprob)
+            no_speech = np.asarray(result.no_speech_prob)
+
+        elapsed = time.monotonic() - t_start
+        if self._metrics is not None:
+            self._metrics.record_engine_batch(n, batch_n, elapsed)
+
+        outputs: List[DecodeOutput] = []
+        for i, task in enumerate(group):
+            n_gen = max(0, int(lengths[i]) - p_len)
+            text = self.tokenizer.decode(tokens[i, p_len : p_len + n_gen])
+            avg_lp = float(sum_lp[i] / max(1, n_gen))
+            segments = (
+                [Segment(0.0, durations[i], text)] if text.strip() else []
+            )
+            outputs.append(
+                DecodeOutput(
+                    segments=segments,
+                    info=BackendInfo(langs[i], lang_ps[i]),
+                    inference_sec=elapsed,
+                    batch_rows=n,
+                    avg_logprob=avg_lp,
+                    no_speech_prob=float(no_speech[i]),
+                )
+            )
+        return outputs
+
+
+__all__ = [
+    "DecodeOutput",
+    "DecodeRequest",
+    "WhisperEngine",
+    "DEFAULT_AUDIO_BUCKETS_SEC",
+    "DEFAULT_BATCH_BUCKETS",
+]

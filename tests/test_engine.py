@@ -1,0 +1,124 @@
+"""WhisperEngine batching/bucketing tests (CPU, micro model)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+from stt_tpu.server.runtime.metrics import Metrics
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = WhisperEngine(
+        "test",
+        device="cpu",
+        compute_type="float32",
+        audio_buckets_sec=(1.0, 2.0),
+        batch_buckets=(1, 2, 4),
+        max_decode_tokens=32,
+        batch_window_ms=20.0,
+        max_batch=4,
+        metrics=Metrics(),
+    )
+    yield eng
+    eng.close()
+
+
+def _req(dur=0.8, seed=1, language="en", **kw):
+    rng = np.random.default_rng(seed)
+    audio = (0.1 * rng.standard_normal(int(16000 * dur))).astype(np.float32)
+    return DecodeRequest(audio=audio, language=language, **kw)
+
+
+def test_sync_transcribe(engine):
+    out = engine.transcribe_sync(_req())
+    assert out.info.language == "en"
+    assert out.batch_rows == 1
+    assert isinstance(out.segments, list)
+
+
+def test_deterministic_across_calls(engine):
+    a = engine.transcribe_sync(_req(seed=3))
+    b = engine.transcribe_sync(_req(seed=3))
+    assert [s.text for s in a.segments] == [s.text for s in b.segments]
+
+
+def test_submit_batches_concurrent_requests(engine):
+    futures = [engine.submit(_req(seed=i)) for i in range(4)]
+    outs = [f.result(timeout=60) for f in futures]
+    assert all(o is not None for o in outs)
+    # the batching window should have grouped at least two of them
+    assert max(o.batch_rows for o in outs) >= 2
+
+
+def test_batched_equals_sync(engine):
+    """Batching must not change a request's output."""
+    solo = engine.transcribe_sync(_req(seed=5))
+    futures = [engine.submit(_req(seed=5)), engine.submit(_req(seed=6))]
+    batched = futures[0].result(timeout=60)
+    futures[1].result(timeout=60)
+    assert [s.text for s in solo.segments] == [s.text for s in batched.segments]
+
+
+def test_cancelled_task_skipped(engine):
+    ev = threading.Event()
+    ev.set()
+    fut = engine.submit(_req(seed=7), cancel_event=ev)
+    time.sleep(0.3)
+    assert fut.cancelled()
+
+
+def test_bucket_selection(engine):
+    assert engine._bucket_for(8000) == 1.0
+    assert engine._bucket_for(16000) == 1.0
+    assert engine._bucket_for(16001) == 2.0
+    assert engine._bucket_for(10**7) == 2.0  # clamps to max bucket
+    assert engine._batch_bucket(3) == 4
+    assert engine._batch_bucket(9) == 4  # clamps to max
+
+
+def test_language_detection_when_unset(engine):
+    out = engine.transcribe_sync(_req(language=None))
+    assert out.info.language  # some detected code
+    assert 0.0 <= out.info.language_probability <= 1.0
+
+
+def test_mixed_languages_one_batch(engine):
+    f1 = engine.submit(_req(seed=8, language="ko"))
+    f2 = engine.submit(_req(seed=9, language="en"))
+    o1, o2 = f1.result(timeout=60), f2.result(timeout=60)
+    assert o1.info.language == "ko"
+    assert o2.info.language == "en"
+
+
+def test_backend_adapter():
+    from stt_tpu.backends import get_backend
+
+    cls = get_backend("jax_whisper")
+    backend = cls(
+        "test",
+        "cpu",
+        "float32",
+        audio_buckets_sec=(1.0,),
+        batch_buckets=(1,),
+        max_decode_tokens=24,
+    )
+    audio = (0.1 * RNG.standard_normal(12000)).astype(np.float32)
+    segments, info = backend.transcribe(audio, {"language": "en"})
+    assert info.language == "en"
+    backend.close()
+
+
+def test_backend_registry_aliases():
+    from stt_tpu.backends import get_backend
+    from stt_tpu.backends.fake import FakeBackend
+
+    assert get_backend("fake") is FakeBackend
+    assert get_backend("faster_whisper").__name__ == "JaxWhisperBackend"
+    with pytest.raises(ValueError):
+        get_backend("nope")
