@@ -382,6 +382,17 @@ def configure_from_args(args: argparse.Namespace) -> ServerConfig:
 def main(argv: Optional[list] = None) -> None:
     args = parse_args(argv)
     config = configure_from_args(args)
+    if (config.device or "").lower() == "cpu":
+        # Pin the JAX platform before any backend initializes: the image's
+        # sitecustomize imports jax at interpreter start, so JAX_PLATFORMS in
+        # the environment is already too late — a "cpu" server would still
+        # open the TPU tunnel and serialize against real TPU jobs.
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            LOGGER.warning("could not pin JAX platform to cpu", exc_info=True)
     configure_logging(
         level=config.log_level,
         log_file=config.log_file,
