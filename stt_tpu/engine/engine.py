@@ -35,6 +35,7 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -87,6 +88,86 @@ def _resolve_device(device: str):
         if (d.platform == "cpu") == want_cpu:
             return d
     return jax.devices()[0]
+
+
+@partial(jax.jit, static_argnames=("n_head", "n_mels", "dtype"))
+def _mel_encode(params, rows, n_head: int, n_mels: int, dtype) -> jnp.ndarray:
+    """Fused log-mel + encoder in ONE dispatch.
+
+    Host<->device round-trips are expensive (especially over a tunneled
+    device); fusing the front end into the encoder program halves the
+    dispatch count of the hot path."""
+    mel = log_mel_spectrogram(rows, n_mels=n_mels).astype(dtype)
+    return W.encode(params, mel, n_head)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config"),
+    donate_argnames=("cache",),
+)
+def _greedy_packed(
+    params, enc, prompt, prompt_len, cache, config, n_head: int,
+    max_new_tokens: int,
+) -> jnp.ndarray:
+    """Greedy decode returning ONE packed int32 array (B, T_max + 3):
+    [tokens | lengths | bitcast(sum_logprob) | bitcast(no_speech_prob)].
+
+    Packing lets the host fetch every decode output in a single
+    device-to-host transfer instead of four."""
+    res = W.greedy_decode(
+        params, enc, prompt, prompt_len, cache, config, n_head,
+        max_new_tokens,
+    )
+    return jnp.concatenate(
+        [
+            res.tokens.astype(jnp.int32),
+            res.lengths.astype(jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(
+                res.sum_logprob.astype(jnp.float32), jnp.int32
+            )[:, None],
+            jax.lax.bitcast_convert_type(
+                res.no_speech_prob.astype(jnp.float32), jnp.int32
+            )[:, None],
+        ],
+        axis=1,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
+                     "max_new_tokens", "config"),
+    donate_argnames=("cache",),
+)
+def _serve_fixed_lang(
+    params, rows, prompt, prompt_len, cache, config,
+    n_head_audio: int, n_head_text: int, n_mels: int, dtype,
+    max_new_tokens: int,
+) -> jnp.ndarray:
+    """Whole serving step in ONE dispatch (log-mel -> encoder -> greedy
+    decode -> packed outputs) for the fixed-language path. Auto-detect
+    needs a host round-trip between encode and decode (the detected
+    language changes the prompt), so it uses the two-phase path."""
+    mel = log_mel_spectrogram(rows, n_mels=n_mels).astype(dtype)
+    enc = W.encode(params, mel, n_head_audio)
+    res = W.greedy_decode(
+        params, enc, prompt, prompt_len, cache, config, n_head_text,
+        max_new_tokens,
+    )
+    return jnp.concatenate(
+        [
+            res.tokens.astype(jnp.int32),
+            res.lengths.astype(jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(
+                res.sum_logprob.astype(jnp.float32), jnp.int32
+            )[:, None],
+            jax.lax.bitcast_convert_type(
+                res.no_speech_prob.astype(jnp.float32), jnp.int32
+            )[:, None],
+        ],
+        axis=1,
+    )
 
 
 class WhisperEngine:
@@ -316,65 +397,81 @@ class WhisperEngine:
             rows[i, : len(audio)] = audio
             durations.append(len(audio) / SAMPLE_RATE)
 
-        with jax.default_device(self._device):
-            mel = log_mel_spectrogram(
-                jnp.asarray(rows), n_mels=self.config.n_mels
-            ).astype(self._dtype)
-            enc = W.encode(self.params, mel, self.config.n_audio_head)
-
-            needs_detect = any(not t.request.language for t in group)
-            lang_probs = None
-            if needs_detect:
-                lang_probs = np.asarray(
-                    W.detect_language(
-                        self.params, enc, self.config, self.config.n_text_head
-                    ),
-                    dtype=np.float32,
-                )
-
-            prompts, langs, lang_ps = [], [], []
-            for i, task in enumerate(group):
-                lang = task.request.language
-                if not lang:
-                    idx = int(lang_probs[i].argmax())
-                    lang = W.WHISPER_LANG_CODES[idx]
-                    lang_ps.append(float(lang_probs[i, idx]))
-                else:
-                    lang_ps.append(1.0)
-                langs.append(lang)
-                prompts.append(
-                    W.build_prompt(
-                        self.config,
-                        lang,
-                        task=task.request.task,
-                        without_timestamps=bool(
-                            task.request.options.get("without_timestamps", True)
-                        ),
-                    )
-                )
-            p_len = len(prompts[0])
-            prompt_arr = np.full((batch_n, p_len), self.layout.eot, np.int32)
-            for i, p in enumerate(prompts):
-                prompt_arr[i] = p
-
-            max_new = self._max_new_for(bucket_sec)
-            cache = W.init_kv_cache(
-                self.config, batch_n, p_len + max_new, dtype=self._dtype
+        # NB: do NOT wrap this in jax.default_device(...) — on the axon TPU
+        # platform that context deadlocks jitted while_loop executions. The
+        # params pytree is committed to the device, which pins placement.
+        rows_dev = jnp.asarray(rows)
+        needs_detect = any(not t.request.language for t in group)
+        enc = None
+        lang_probs = None
+        if needs_detect:
+            # two-phase: the detected language changes the decode prompt,
+            # so one host round-trip is unavoidable here
+            enc = _mel_encode(
+                self.params, rows_dev,
+                self.config.n_audio_head, self.config.n_mels, self._dtype,
             )
-            result = W.greedy_decode(
-                self.params,
-                enc,
-                jnp.asarray(prompt_arr),
-                jnp.full((batch_n,), p_len, jnp.int32),
-                cache,
+            lang_probs = np.asarray(
+                W.detect_language(
+                    self.params, enc, self.config, self.config.n_text_head
+                ),
+                dtype=np.float32,
+            )
+
+        prompts, langs, lang_ps = [], [], []
+        for i, task in enumerate(group):
+            lang = task.request.language
+            if not lang:
+                idx = int(lang_probs[i].argmax())
+                lang = W.WHISPER_LANG_CODES[idx]
+                lang_ps.append(float(lang_probs[i, idx]))
+            else:
+                lang_ps.append(1.0)
+            langs.append(lang)
+            prompts.append(
+                W.build_prompt(
+                    self.config,
+                    lang,
+                    task=task.request.task,
+                    without_timestamps=bool(
+                        task.request.options.get("without_timestamps", True)
+                    ),
+                )
+            )
+        p_len = len(prompts[0])
+        prompt_arr = np.full((batch_n, p_len), self.layout.eot, np.int32)
+        for i, p in enumerate(prompts):
+            prompt_arr[i] = p
+
+        max_new = self._max_new_for(bucket_sec)
+        cache = W.init_kv_cache(
+            self.config, batch_n, p_len + max_new, dtype=self._dtype
+        )
+        prompt_dev = jnp.asarray(prompt_arr)
+        prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
+        if enc is None:
+            # fixed language: entire step in one dispatch
+            packed = _serve_fixed_lang(
+                self.params, rows_dev, prompt_dev, prompt_len_dev, cache,
                 self.config,
-                self.config.n_text_head,
+                n_head_audio=self.config.n_audio_head,
+                n_head_text=self.config.n_text_head,
+                n_mels=self.config.n_mels,
+                dtype=self._dtype,
                 max_new_tokens=max_new,
             )
-            tokens = np.asarray(result.tokens)
-            lengths = np.asarray(result.lengths)
-            sum_lp = np.asarray(result.sum_logprob)
-            no_speech = np.asarray(result.no_speech_prob)
+        else:
+            packed = _greedy_packed(
+                self.params, enc, prompt_dev, prompt_len_dev, cache,
+                self.config, self.config.n_text_head,
+                max_new_tokens=max_new,
+            )
+        arr = np.asarray(packed)  # the ONE device->host transfer
+        t_max = arr.shape[1] - 3
+        tokens = arr[:, :t_max]
+        lengths = arr[:, t_max]
+        sum_lp = arr[:, t_max + 1].view(np.float32)
+        no_speech = arr[:, t_max + 2].view(np.float32)
 
         elapsed = time.monotonic() - t_start
         if self._metrics is not None:
