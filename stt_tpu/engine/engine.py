@@ -90,14 +90,24 @@ def _resolve_device(device: str):
     return jax.devices()[0]
 
 
-@partial(jax.jit, static_argnames=("n_head", "n_mels", "dtype"))
-def _mel_encode(params, rows, n_head: int, n_mels: int, dtype) -> jnp.ndarray:
+def _log_mel(rows, n_mels: int, use_pallas: bool):
+    if use_pallas:
+        from ..ops.pallas.mel import log_mel_spectrogram_pallas
+
+        return log_mel_spectrogram_pallas(rows, n_mels=n_mels)
+    return log_mel_spectrogram(rows, n_mels=n_mels)
+
+
+@partial(jax.jit, static_argnames=("n_head", "n_mels", "dtype", "use_pallas"))
+def _mel_encode(
+    params, rows, n_head: int, n_mels: int, dtype, use_pallas: bool = False
+) -> jnp.ndarray:
     """Fused log-mel + encoder in ONE dispatch.
 
     Host<->device round-trips are expensive (especially over a tunneled
     device); fusing the front end into the encoder program halves the
     dispatch count of the hot path."""
-    mel = log_mel_spectrogram(rows, n_mels=n_mels).astype(dtype)
+    mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
     return W.encode(params, mel, n_head)
 
 
@@ -137,19 +147,19 @@ def _greedy_packed(
 @partial(
     jax.jit,
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
-                     "max_new_tokens", "config"),
+                     "max_new_tokens", "config", "use_pallas"),
     donate_argnames=("cache",),
 )
 def _serve_fixed_lang(
     params, rows, prompt, prompt_len, cache, config,
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
-    max_new_tokens: int,
+    max_new_tokens: int, use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch (log-mel -> encoder -> greedy
     decode -> packed outputs) for the fixed-language path. Auto-detect
     needs a host round-trip between encode and decode (the detected
     language changes the prompt), so it uses the two-phase path."""
-    mel = log_mel_spectrogram(rows, n_mels=n_mels).astype(dtype)
+    mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
     enc = W.encode(params, mel, n_head_audio)
     res = W.greedy_decode(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
@@ -186,6 +196,7 @@ class WhisperEngine:
         max_decode_tokens: int = 224,
         batch_window_ms: float = 5.0,
         max_batch: int = 16,
+        use_pallas: bool = False,
         metrics=None,
         seed: int = 0,
     ) -> None:
@@ -195,6 +206,9 @@ class WhisperEngine:
         self._device = _resolve_device(device)
         self._dtype = jnp.bfloat16 if compute_type == "bfloat16" else jnp.float32
         self._metrics = metrics
+        # the Pallas front end is compiled-mode only; fall back to the XLA
+        # path on CPU backends (tests, --device cpu servers)
+        self._use_pallas = bool(use_pallas) and self._device.platform != "cpu"
 
         t0 = time.monotonic()
         if weights_path:
@@ -410,6 +424,7 @@ class WhisperEngine:
             enc = _mel_encode(
                 self.params, rows_dev,
                 self.config.n_audio_head, self.config.n_mels, self._dtype,
+                use_pallas=self._use_pallas,
             )
             lang_probs = np.asarray(
                 W.detect_language(
@@ -459,6 +474,7 @@ class WhisperEngine:
                 n_mels=self.config.n_mels,
                 dtype=self._dtype,
                 max_new_tokens=max_new,
+                use_pallas=self._use_pallas,
             )
         else:
             packed = _greedy_packed(

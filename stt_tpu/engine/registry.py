@@ -378,6 +378,7 @@ class ModelRegistry:
                         "max_decode_tokens",
                         "batch_window_ms",
                         "max_batch",
+                        "use_pallas",
                     )
                     if k in options
                 }

@@ -89,6 +89,7 @@ class ApplicationRuntime:
                 "max_decode_tokens": config.tpu_max_decode_tokens,
                 "batch_window_ms": config.decode_batch_window_ms,
                 "max_batch": config.max_decode_batch_size,
+                "use_pallas": config.tpu_use_pallas,
             },
         )
 
