@@ -81,6 +81,16 @@ class _Task:
         self.enqueued_at = time.monotonic()
 
 
+def _beam_size_of(request: DecodeRequest) -> int:
+    """Effective beam width; the `accurate` profile sets beam_size=5
+    (reference faster_whisper path), realtime/greedy uses 1."""
+    try:
+        beam = int(request.options.get("beam_size", 1) or 1)
+    except (TypeError, ValueError):
+        beam = 1
+    return max(1, min(beam, 8))
+
+
 def _resolve_device(device: str):
     """Map config device names onto available JAX devices."""
     want_cpu = device in ("cpu",)
@@ -111,24 +121,11 @@ def _mel_encode(
     return W.encode(params, mel, n_head)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config"),
-    donate_argnames=("cache",),
-)
-def _greedy_packed(
-    params, enc, prompt, prompt_len, cache, config, n_head: int,
-    max_new_tokens: int,
-) -> jnp.ndarray:
-    """Greedy decode returning ONE packed int32 array (B, T_max + 3):
-    [tokens | lengths | bitcast(sum_logprob) | bitcast(no_speech_prob)].
-
-    Packing lets the host fetch every decode output in a single
-    device-to-host transfer instead of four."""
-    res = W.greedy_decode(
-        params, enc, prompt, prompt_len, cache, config, n_head,
-        max_new_tokens,
-    )
+def _pack_result(res) -> jnp.ndarray:
+    """Pack a DecodeResult into ONE int32 array (B, T_max + 3):
+    [tokens | lengths | bitcast(sum_logprob) | bitcast(no_speech_prob)] so
+    the host fetches every decode output in a single device-to-host
+    transfer instead of four."""
     return jnp.concatenate(
         [
             res.tokens.astype(jnp.int32),
@@ -144,16 +141,49 @@ def _greedy_packed(
     )
 
 
+def _decode_best(
+    params, enc, prompt, prompt_len, cache, config, n_head: int,
+    max_new_tokens: int, beam_size: int,
+):
+    """Greedy for beam_size==1, fixed-width beam search otherwise
+    (the `accurate` profile). ``cache`` must hold B*beam_size rows."""
+    if beam_size <= 1:
+        return W.greedy_decode(
+            params, enc, prompt, prompt_len, cache, config, n_head,
+            max_new_tokens,
+        )
+    return W.beam_decode(
+        params, enc, prompt, prompt_len, cache, config, n_head,
+        max_new_tokens, beam_size=beam_size,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config", "beam_size"),
+    donate_argnames=("cache",),
+)
+def _greedy_packed(
+    params, enc, prompt, prompt_len, cache, config, n_head: int,
+    max_new_tokens: int, beam_size: int = 1,
+) -> jnp.ndarray:
+    res = _decode_best(
+        params, enc, prompt, prompt_len, cache, config, n_head,
+        max_new_tokens, beam_size,
+    )
+    return _pack_result(res)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
-                     "max_new_tokens", "config", "use_pallas"),
+                     "max_new_tokens", "config", "use_pallas", "beam_size"),
     donate_argnames=("cache",),
 )
 def _serve_fixed_lang(
     params, rows, prompt, prompt_len, cache, config,
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
-    max_new_tokens: int, use_pallas: bool = False,
+    max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch (log-mel -> encoder -> greedy
     decode -> packed outputs) for the fixed-language path. Auto-detect
@@ -161,23 +191,11 @@ def _serve_fixed_lang(
     language changes the prompt), so it uses the two-phase path."""
     mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
     enc = W.encode(params, mel, n_head_audio)
-    res = W.greedy_decode(
+    res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
-        max_new_tokens,
+        max_new_tokens, beam_size,
     )
-    return jnp.concatenate(
-        [
-            res.tokens.astype(jnp.int32),
-            res.lengths.astype(jnp.int32)[:, None],
-            jax.lax.bitcast_convert_type(
-                res.sum_logprob.astype(jnp.float32), jnp.int32
-            )[:, None],
-            jax.lax.bitcast_convert_type(
-                res.no_speech_prob.astype(jnp.float32), jnp.int32
-            )[:, None],
-        ],
-        axis=1,
-    )
+    return _pack_result(res)
 
 
 class WhisperEngine:
@@ -365,7 +383,8 @@ class WhisperEngine:
         for task in live:
             bucket = self._bucket_for(len(task.request.audio))
             p_len = len(self._prompt_for(task.request))
-            groups.setdefault((bucket, p_len), []).append(task)
+            beam = _beam_size_of(task.request)
+            groups.setdefault((bucket, p_len, beam), []).append(task)
         for group in groups.values():
             try:
                 outputs = self._run_group(group, already_running=True)
@@ -459,8 +478,9 @@ class WhisperEngine:
             prompt_arr[i] = p
 
         max_new = self._max_new_for(bucket_sec)
+        beam = max(_beam_size_of(t.request) for t in group)
         cache = W.init_kv_cache(
-            self.config, batch_n, p_len + max_new, dtype=self._dtype
+            self.config, batch_n * beam, p_len + max_new, dtype=self._dtype
         )
         prompt_dev = jnp.asarray(prompt_arr)
         prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
@@ -475,12 +495,14 @@ class WhisperEngine:
                 dtype=self._dtype,
                 max_new_tokens=max_new,
                 use_pallas=self._use_pallas,
+                beam_size=beam,
             )
         else:
             packed = _greedy_packed(
                 self.params, enc, prompt_dev, prompt_len_dev, cache,
                 self.config, self.config.n_text_head,
                 max_new_tokens=max_new,
+                beam_size=beam,
             )
         arr = np.asarray(packed)  # the ONE device->host transfer
         t_max = arr.shape[1] - 3

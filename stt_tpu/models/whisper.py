@@ -637,6 +637,167 @@ def greedy_decode(
     return DecodeResult(tokens, first_eot, sum_lp, no_speech_prob)
 
 
+# ---------------------------------------------------------------------------
+# Beam search (the `accurate` decode profile)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config", "beam_size"),
+    donate_argnames=("cache",),
+)
+def beam_decode(
+    params: Dict[str, Any],
+    enc_out: jnp.ndarray,
+    prompt: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    cache: KVCache,
+    config: WhisperConfig,
+    n_head: int,
+    max_new_tokens: int,
+    beam_size: int = 5,
+) -> DecodeResult:
+    """Fixed-width batched beam search in a ``lax.while_loop``.
+
+    Parity target: the reference's faster_whisper `accurate` profile uses
+    CTranslate2 beam search (``stt_server/model/backends/faster_whisper.py``,
+    ``config/model.yaml`` accurate profile beam_size=5); mlx_whisper drops
+    beam options — this build must not. Final hypothesis selection follows
+    openai-whisper's default: highest sum-logprob / length among finished
+    beams (falling back to all beams when none finished).
+
+    enc_out: (B, T_a, d); prompt: (B, P); cache must be sized for
+    ``B * beam_size`` rows. Returns the best beam per batch row in the
+    same DecodeResult layout as :func:`greedy_decode`.
+    """
+    layout = token_layout(config.n_vocab)
+    b, p_len = prompt.shape
+    k = beam_size
+    bk = b * k
+    t_max = cache.k.shape[2]
+    v = config.n_vocab
+
+    # replicate encoder states / prompts across beams: row order (B, K)
+    enc_bk = jnp.repeat(enc_out, k, axis=0)            # (B*K, T_a, d)
+    cross_kv = precompute_cross_kv(params, enc_bk)
+    suppress = jnp.asarray(_suppress_mask(config, True))
+
+    tokens = jnp.full((b, k, t_max), layout.eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, jnp.repeat(prompt[:, None, :], k, axis=1), (0, 0, 0)
+    )
+
+    def prefill_step(i, state):
+        cache, no_speech_prob = state
+        tok_i = jax.lax.dynamic_slice(
+            tokens, (0, 0, i), (b, k, 1)
+        ).reshape(bk)
+        logits, cache = _decoder_step(
+            params, tok_i, i, cache, cross_kv, n_head, i
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        no_speech_prob = jnp.where(
+            i == 0, probs.reshape(b, k, v)[:, 0, layout.no_speech],
+            no_speech_prob,
+        )
+        return cache, no_speech_prob
+
+    cache, no_speech_prob = jax.lax.fori_loop(
+        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    )
+
+    # beam 0 starts live; the rest at -inf so the first expansion
+    # diversifies instead of duplicating
+    neg_inf = jnp.float32(-1e9)
+    sum_lp = jnp.where(
+        jnp.arange(k)[None, :] == 0, 0.0, neg_inf
+    ) * jnp.ones((b, k), jnp.float32)
+    finished = jnp.zeros((b, k), bool)
+
+    # eot-only continuation row for finished beams (score frozen)
+    eot_only = jnp.full((v,), neg_inf, jnp.float32).at[layout.eot].set(0.0)
+
+    def cond(state):
+        _, _, _, pos, finished, _ = state
+        return jnp.logical_and(
+            pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
+        )
+
+    def body(state):
+        tokens, cache, sum_lp, pos, finished, _ = state
+        last_tok = jax.lax.dynamic_slice(
+            tokens, (0, 0, pos - 1), (b, k, 1)
+        ).reshape(bk)
+        logits, cache = _decoder_step(
+            params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
+        )
+        logits = (logits + suppress).reshape(b, k, v)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        step_lp = jnp.where(finished[:, :, None], eot_only[None, None, :],
+                            logprobs)
+        cand = sum_lp[:, :, None] + step_lp            # (B, K, V)
+        top_vals, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
+        parent = top_idx // v                           # (B, K)
+        new_tok = (top_idx % v).astype(jnp.int32)
+
+        # reorder beam state by parent
+        tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[:, :, None], (0, 0, pos)
+        )
+        finished = jnp.take_along_axis(finished, parent, axis=1)
+        new_tok_is_eot = new_tok == layout.eot
+        finished = jnp.logical_or(finished, new_tok_is_eot)
+
+        def reorder_cache(x):  # (L, B*K, T, d)
+            l, _, t, d = x.shape
+            x = x.reshape(l, b, k, t, d)
+            x = jnp.take_along_axis(
+                x, parent[None, :, :, None, None], axis=2
+            )
+            return x.reshape(l, bk, t, d)
+
+        cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
+        return tokens, cache, top_vals, pos + 1, finished, parent
+
+    init = (
+        tokens, cache, sum_lp,
+        jnp.asarray(p_len, jnp.int32),
+        finished,
+        jnp.zeros((b, k), jnp.int32),
+    )
+    tokens, cache, sum_lp, pos, finished, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    # per-beam generated length = first eot at/after prompt
+    is_eot = jnp.logical_and(
+        tokens == layout.eot,
+        jnp.arange(t_max)[None, None, :] >= p_len,
+    )
+    first_eot = jnp.where(
+        is_eot.any(axis=2), jnp.argmax(is_eot, axis=2), pos
+    ).astype(jnp.int32)                                  # (B, K)
+    gen_len = jnp.maximum(1, first_eot - p_len).astype(jnp.float32)
+    avg_lp = sum_lp / gen_len
+
+    # prefer finished beams (openai-whisper finalization semantics)
+    any_finished = finished.any(axis=1, keepdims=True)
+    selectable = jnp.where(
+        jnp.logical_and(any_finished, ~finished), neg_inf, avg_lp
+    )
+    best = jnp.argmax(selectable, axis=1)                # (B,)
+
+    take = lambda arr: jnp.take_along_axis(
+        arr, best[:, None] if arr.ndim == 2 else best[:, None, None], axis=1
+    )
+    best_tokens = take(tokens)[:, 0, :]
+    best_len = take(first_eot)[:, 0]
+    best_lp = take(sum_lp)[:, 0]
+    return DecodeResult(best_tokens, best_len, best_lp, no_speech_prob)
+
+
 @partial(jax.jit, static_argnames=("n_head", "config"))
 def detect_language(
     params: Dict[str, Any],
@@ -685,6 +846,7 @@ __all__ = [
     "detect_language",
     "encode",
     "get_config",
+    "beam_decode",
     "greedy_decode",
     "init_kv_cache",
     "init_params",

@@ -3,21 +3,27 @@
 The XLA path (:mod:`stt_tpu.ops.mel`) materializes the framing gather
 ``(F, n_fft)`` in HBM before the DFT matmul — for a 16-row 30 s batch
 that's ~75 MB of HBM traffic for data that is 60% duplicated (hop 160 <
-n_fft 400). This kernel streams audio tiles into VMEM once and builds the
-overlapped frames *in registers* with three shifted reshapes
-(400 = 160 + 160 + 80), then runs both matmuls (windowed DFT basis, mel
-filterbank) on the MXU per tile:
+n_fft 400). This kernel reads each audio sample once: the waveform is
+pre-reshaped (free, contiguous) into hop-sized slabs ``(B, S/hop, hop)``,
+each program takes a ``(TILE_F + 2, hop)`` slab window from VMEM and
+assembles the overlapped frames with two sublane shifts and a lane concat
+(``n_fft = hop + hop + 80``), then runs both matmuls (windowed DFT basis,
+mel filterbank) on the MXU:
 
-    HBM reads:  audio (B*S*4 bytes)         [vs ~2.5x that + frames]
+    HBM reads:  audio once (B*S*4 bytes)   [vs ~2.5x + frame matrix]
     HBM writes: (B, F, n_mels) log-mel
+
+Mosaic note: lane-crossing reshapes like ``(16000,) -> (100, 160)`` are
+unsupported in compiled mode, which is exactly why framing happens via the
+slab layout + sublane shifts instead.
 
 The global ``max - 8`` dynamic-range clamp needs a full-spectrogram
 reduction, so the kernel emits un-clamped ``log10`` mel power and the tiny
 clamp+normalize epilogue stays in XLA (it fuses into the consumer).
 
-Grid: ``(B, F // TILE_F)``; each program loads its (1, TILE_F*hop + n_fft)
-audio slice from a VMEM-resident padded row. TILE_F=100 divides every
-engine audio bucket (100/200/500/1000/3000 frames).
+Grid: ``(B, cdiv(F, TILE_F))``. TILE_F=128 keeps every dynamic sublane
+start provably 8-aligned for Mosaic; a partial tail tile computes then
+discards the padded frames.
 """
 
 from __future__ import annotations
@@ -32,23 +38,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mel import HOP_LENGTH, N_FFT, _dft_basis, mel_filterbank
 
-TILE_F = 100  # frames per program; divides all engine bucket frame counts
+TILE_F = 128  # frames per program; 8-aligned sublane starts for Mosaic
 
 
-def _mel_kernel(audio_ref, basis_ref, mel_ref, out_ref):
-    """One (batch row, frame tile): frames -> DFT -> power -> mel -> log10."""
+def _mel_kernel(slabs_ref, basis_ref, mel_ref, out_ref):
+    """One (batch row, frame tile): slabs -> frames -> DFT -> mel -> log10."""
     i = pl.program_id(1)
     hop, n_fft = HOP_LENGTH, N_FFT
-    start = i * (TILE_F * hop)
-
-    # overlapped framing without gather: 400 = 160 + 160 + 80; three shifted
-    # strided views of the padded row, each reshaped to (TILE_F, hop)
-    a = audio_ref[0, 0, pl.ds(start, TILE_F * hop)].reshape(TILE_F, hop)
-    b = audio_ref[0, 0, pl.ds(start + hop, TILE_F * hop)].reshape(TILE_F, hop)
-    c = audio_ref[0, 0, pl.ds(start + 2 * hop, TILE_F * hop)].reshape(
-        TILE_F, hop
-    )[:, : n_fft - 2 * hop]
-    frames = jnp.concatenate([a, b, c], axis=1)  # (TILE_F, n_fft)
+    base = pl.multiple_of(i * TILE_F, 8)
+    # (TILE_F + 2, hop) slab window; frame f = slabs[f] ++ slabs[f+1]
+    #                                          ++ slabs[f+2][:n_fft-2*hop]
+    # Mosaic cannot concat slices with mismatched sublane offsets, so shift
+    # with roll (offset stays 0) before slicing the first TILE_F rows.
+    win = slabs_ref[0, pl.ds(base, TILE_F + 8), :]
+    n_win = TILE_F + 8
+    w1 = pltpu.roll(win, n_win - 1, 0)  # roll(-1): row f <- row f+1
+    w2 = pltpu.roll(win, n_win - 2, 0)  # roll(-2): row f <- row f+2
+    frames = jnp.concatenate(
+        [
+            win[:TILE_F, :],
+            w1[:TILE_F, :],
+            w2[:TILE_F, : n_fft - 2 * hop],
+        ],
+        axis=1,
+    )  # (TILE_F, n_fft)
 
     spec = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
     n_bins = n_fft // 2 + 1
@@ -64,28 +77,33 @@ def log_mel_spectrogram_pallas(
     """float32 waveform (B, T) -> log-mel (B, n_mels, T//hop).
 
     Matches :func:`stt_tpu.ops.mel.log_mel_spectrogram` numerically
-    (golden-tested). T must be a multiple of ``TILE_F * HOP_LENGTH`` — the
-    engine's audio buckets always are.
+    (golden-tested). T must be a multiple of ``HOP_LENGTH`` — the engine's
+    audio buckets always are.
     """
     if audio.ndim == 1:
         audio = audio[None]
     b, t = audio.shape
-    n_frames = t // HOP_LENGTH
-    if n_frames % TILE_F != 0:
-        raise ValueError(
-            f"frame count {n_frames} not a multiple of TILE_F={TILE_F}"
-        )
+    hop = HOP_LENGTH
+    if t % hop != 0:
+        raise ValueError(f"audio length {t} not a multiple of hop={hop}")
+    n_frames = t // hop
+    n_tiles = -(-n_frames // TILE_F)  # cdiv; tail tile is wasted compute
     pad = N_FFT // 2
+    # reflect-pad for centered frames, then right-pad to a slab multiple;
+    # slab layout (B, n_slabs, hop) is a free reshape of contiguous audio
     padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)),
                      mode="reflect")
-    # TPU block shapes must divide (8, 128) or equal the array dims on the
-    # last two axes; lifting to (B, 1, S) / (B, tiles, TILE_F, n_mels) makes
-    # every block equal its trailing array dims.
-    padded = padded[:, None, :]  # (B, 1, S_pad)
+    # frame f needs slabs [f, f+1, f+2]; each program loads a TILE_F + 8
+    # slab window (8-row granule), so pad the slab row out to
+    # n_tiles*TILE_F + 8 slabs
+    n_slabs = n_tiles * TILE_F + 8
+    need = n_slabs * hop
+    padded = jnp.pad(padded, ((0, 0), (0, max(0, need - padded.shape[1]))))
+    slabs = padded[:, :need].reshape(b, n_slabs, hop)
+
     basis = jnp.asarray(_dft_basis(N_FFT))            # (400, 402)
     mel_t = jnp.asarray(mel_filterbank(n_mels, N_FFT).T)  # (201, n_mels)
 
-    n_tiles = n_frames // TILE_F
     raw = pl.pallas_call(
         _mel_kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -93,9 +111,9 @@ def log_mel_spectrogram_pallas(
         ),
         grid=(b, n_tiles),
         in_specs=[
-            # one padded audio row per program, reused across frame tiles
+            # one slab row per program, reused across frame tiles
             pl.BlockSpec(
-                (1, 1, padded.shape[2]),
+                (1, n_slabs, hop),
                 lambda bi, fi: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -112,10 +130,12 @@ def log_mel_spectrogram_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(padded, basis, mel_t)
+    )(slabs, basis, mel_t)
 
-    # clamp + normalize epilogue (needs the per-row global max)
-    log_spec = raw.reshape(b, n_frames, n_mels).transpose(0, 2, 1)
+    # drop the padded tail frames, then clamp + normalize (needs the
+    # per-row global max)
+    log_spec = raw.reshape(b, n_tiles * TILE_F, n_mels)[:, :n_frames]
+    log_spec = log_spec.transpose(0, 2, 1)
     row_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, row_max - 8.0)
     return (log_spec + 4.0) / 4.0

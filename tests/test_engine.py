@@ -122,3 +122,25 @@ def test_backend_registry_aliases():
     assert get_backend("faster_whisper").__name__ == "JaxWhisperBackend"
     with pytest.raises(ValueError):
         get_backend("nope")
+
+
+def test_accurate_profile_beam_decode():
+    """beam_size>1 decode options route through beam search and return a
+    well-formed output."""
+    import numpy as np
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        max_batch=2)
+    audio = np.zeros(16000, np.float32)
+    out = eng.transcribe_sync(
+        DecodeRequest(audio=audio, language="en",
+                      options={"beam_size": 3})
+    )
+    assert out.info.language == "en"
+    assert out.batch_rows == 1
+    # greedy vs beam on the same audio both produce a result object
+    out_greedy = eng.transcribe_sync(
+        DecodeRequest(audio=audio, language="en")
+    )
+    assert out_greedy.inference_sec >= 0

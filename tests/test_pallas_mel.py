@@ -37,7 +37,18 @@ def test_pallas_mel_silence():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
-def test_pallas_mel_rejects_unaligned():
-    audio = np.zeros((1, HOP_LENGTH * (TILE_F + 1)), np.float32)
+def test_pallas_mel_rejects_non_hop_multiple():
+    audio = np.zeros((1, HOP_LENGTH * 10 + 7), np.float32)
     with pytest.raises(ValueError):
         log_mel_spectrogram_pallas(jnp.asarray(audio), interpret=True)
+
+
+def test_pallas_mel_non_tile_multiple_frames():
+    # 1.5s = 150 frames: not a TILE_F multiple; tail tile is masked out
+    audio = _audio(2, 1.5)
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(audio)))
+    got = np.asarray(
+        log_mel_spectrogram_pallas(jnp.asarray(audio), interpret=True)
+    )
+    assert got.shape == ref.shape == (2, 80, 150)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)

@@ -131,3 +131,91 @@ def test_decoder_forward_shapes(params, enc_out):
     tokens = jnp.asarray([[50258, 50259, 50359, 50363, 100, 200]], jnp.int32)
     logits = W.decoder_forward(params, tokens, enc_out, CFG.n_text_head)
     assert logits.shape == (1, 6, CFG.n_vocab)
+
+
+# -- beam search --------------------------------------------------------------
+
+
+def test_beam_k1_matches_greedy():
+    """beam_size=1 must reduce exactly to greedy decoding."""
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import (
+        beam_decode, encode, get_config, greedy_decode, init_kv_cache,
+        init_params,
+    )
+    import numpy as np
+
+    config = get_config("tiny")
+    params = init_params(config, seed=3)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(0, 1, (2, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(
+        np.tile([50258, 50259, 50359, 50363], (2, 1)).astype(np.int32)
+    )
+    plen = jnp.full((2,), 4, jnp.int32)
+
+    g_cache = init_kv_cache(config, 2, 24)
+    g = greedy_decode(params, enc, prompt, plen, g_cache, config,
+                      config.n_text_head, 16)
+    b_cache = init_kv_cache(config, 2, 24)
+    b = beam_decode(params, enc, prompt, plen, b_cache, config,
+                    config.n_text_head, 16, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(g.lengths), np.asarray(b.lengths))
+
+
+def test_beam_score_not_worse_than_greedy():
+    """The selected beam's sum-logprob must be >= greedy's (same budget)."""
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import (
+        beam_decode, encode, get_config, greedy_decode, init_kv_cache,
+        init_params,
+    )
+    import numpy as np
+
+    config = get_config("tiny")
+    params = init_params(config, seed=11)
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32)
+    plen = jnp.full((1,), 4, jnp.int32)
+
+    g = greedy_decode(params, enc, prompt, plen,
+                      init_kv_cache(config, 1, 20), config,
+                      config.n_text_head, 12)
+    b = beam_decode(params, enc, prompt, plen,
+                    init_kv_cache(config, 3, 20), config,
+                    config.n_text_head, 12, beam_size=3)
+    g_len = max(1, int(g.lengths[0]) - 4)
+    b_len = max(1, int(b.lengths[0]) - 4)
+    assert float(b.sum_logprob[0]) / b_len >= float(g.sum_logprob[0]) / g_len - 1e-4
+
+
+def test_beam_batch_rows_independent():
+    """Each batch row's beam search is independent of its neighbors."""
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import (
+        beam_decode, encode, get_config, init_kv_cache, init_params,
+    )
+    import numpy as np
+
+    config = get_config("tiny")
+    params = init_params(config, seed=5)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.normal(0, 1, (2, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(
+        np.tile([50258, 50259, 50359, 50363], (2, 1)).astype(np.int32)
+    )
+    plen = jnp.full((2,), 4, jnp.int32)
+    both = beam_decode(params, enc, prompt, plen,
+                       init_kv_cache(config, 4, 20), config,
+                       config.n_text_head, 12, beam_size=2)
+    solo = beam_decode(params, enc[:1], prompt[:1], plen[:1],
+                       init_kv_cache(config, 2, 20), config,
+                       config.n_text_head, 12, beam_size=2)
+    np.testing.assert_array_equal(
+        np.asarray(both.tokens)[0], np.asarray(solo.tokens)[0]
+    )
