@@ -385,17 +385,22 @@ class WhisperEngine:
             p_len = len(self._prompt_for(task.request))
             beam = _beam_size_of(task.request)
             groups.setdefault((bucket, p_len, beam), []).append(task)
+        max_rows = self.batch_buckets[-1]
         for group in groups.values():
-            try:
-                outputs = self._run_group(group, already_running=True)
-            except Exception as exc:  # propagate to every waiter
-                for task in group:
+            # a group can exceed the largest compiled batch shape when
+            # max_batch > max(batch_buckets); split it into full sub-batches
+            for start in range(0, len(group), max_rows):
+                sub = group[start:start + max_rows]
+                try:
+                    outputs = self._run_group(sub, already_running=True)
+                except Exception as exc:  # propagate to every waiter
+                    for task in sub:
+                        if not task.future.done():
+                            task.future.set_exception(exc)
+                    continue
+                for task, out in zip(sub, outputs):
                     if not task.future.done():
-                        task.future.set_exception(exc)
-                continue
-            for task, out in zip(group, outputs):
-                if not task.future.done():
-                    task.future.set_result(out)
+                        task.future.set_result(out)
 
     # -- the batched decode pipeline ------------------------------------------
 

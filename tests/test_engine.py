@@ -144,3 +144,29 @@ def test_accurate_profile_beam_decode():
         DecodeRequest(audio=audio, language="en")
     )
     assert out_greedy.inference_sec >= 0
+
+
+def test_group_larger_than_batch_bucket_splits():
+    """A burst bigger than the largest compiled batch shape must split
+    into sub-batches, not overflow the row buffer."""
+    import numpy as np
+    from concurrent import futures as cf
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        max_batch=10, batch_buckets=(1, 2, 4),
+                        batch_window_ms=50.0)
+    eng.start()
+    try:
+        audio = np.zeros(16000, np.float32)
+        futs = [
+            eng.submit(DecodeRequest(audio=audio, language="en"))
+            for _ in range(10)
+        ]
+        done, _ = cf.wait(futs, timeout=120)
+        assert len(done) == 10
+        for f in futs:
+            out = f.result()
+            assert out.batch_rows <= 4
+    finally:
+        eng.close()
