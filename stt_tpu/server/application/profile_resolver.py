@@ -45,7 +45,12 @@ def resolve_decode_profile(
 ) -> Tuple[str, Dict[str, Any]]:
     if requested and requested in profiles:
         return requested, dict(profiles[requested])
-    return default_profile, dict(profiles[default_profile])
+    if default_profile in profiles:
+        return default_profile, dict(profiles[default_profile])
+    # misconfigured default: fall back to built-ins rather than crash
+    fallback = default_decode_profiles()
+    name = default_profile if default_profile in fallback else "realtime"
+    return name, dict(fallback.get(name, {}))
 
 
 def invalid_decode_options(options: Dict[str, Any]) -> List[str]:
