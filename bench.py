@@ -56,6 +56,7 @@ def main() -> None:
         compute_type=args.compute_type,
         max_batch=args.streams,
         batch_window_ms=5.0,
+        use_pallas=devices[0].platform != "cpu",
     )
     engine.start()
     try:
@@ -97,6 +98,23 @@ def main() -> None:
         total_audio = args.streams * args.secs
         rtfx = total_audio / best_wall
         log(f"RTFx = {total_audio:.0f}s audio / {best_wall:.2f}s wall")
+
+        # secondary: p95 single-request latency at the 1s partial bucket
+        # (the streaming partial path; north star p95 < 300 ms)
+        partial_audio = audio[: 16000]
+        engine.prewarm(bucket_secs=[engine._bucket_for(len(partial_audio))],
+                       batch_sizes=[1])
+        lats = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            engine.transcribe_sync(
+                DecodeRequest(audio=partial_audio, language="en")
+            )
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        p95 = lats[int(len(lats) * 0.95) - 1]
+        log(f"partial (1s bucket) p50={lats[len(lats)//2]*1000:.0f}ms "
+            f"p95={p95*1000:.0f}ms")
         print(json.dumps({
             "metric": f"rtfx_whisper_{args.model}_{args.streams}streams",
             "value": round(rtfx, 2),
