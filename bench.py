@@ -40,6 +40,9 @@ def main() -> None:
     parser.add_argument("--rounds", type=int, default=3,
                         help="measured rounds (best of)")
     parser.add_argument("--compute-type", default="bfloat16")
+    parser.add_argument("--use-pallas", action="store_true", default=False,
+                        help="use the Pallas mel kernel inside the fused "
+                             "serve program (A/B; XLA mel is the default)")
     args = parser.parse_args()
 
     import jax
@@ -56,7 +59,7 @@ def main() -> None:
         compute_type=args.compute_type,
         max_batch=args.streams,
         batch_window_ms=5.0,
-        use_pallas=devices[0].platform != "cpu",
+        use_pallas=args.use_pallas and devices[0].platform != "cpu",
     )
     engine.start()
     try:

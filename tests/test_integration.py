@@ -232,3 +232,57 @@ def test_batch_file_client(server, tone_wav):
     )
     assert proc.returncode == 0, proc.stderr + proc.stdout
     assert "[FINAL]" in proc.stdout
+
+
+def test_admin_multi_model_serving(tone_wav):
+    """Load a second model via the admin API and decode against it by
+    session model_id attribute."""
+    with temp_server(env_extra={
+        "STT_ADMIN_ENABLED": "1", "STT_ADMIN_TOKEN": "itok",
+    }) as (grpc_port, http_port):
+        body = json.dumps({
+            "model_id": "alt", "model_size": "tiny",
+            "backend": "fake", "device": "cpu",
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/admin/load_model",
+            data=body, method="POST",
+            headers={"authorization": "Bearer itok",
+                     "content-type": "application/json"},
+        )
+        assert json.loads(urllib.request.urlopen(req).read())["status"] in (
+            "loading_started", "running"
+        )
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            status = json.loads(urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{http_port}/admin/load_model_status?model_id=alt",
+                headers={"authorization": "Bearer itok"},
+            )).read())
+            if status["status"] in ("success", "failed"):
+                break
+            time.sleep(0.2)
+        assert status["status"] == "success"
+
+        stub, channel = _stub(grpc_port)
+        stub.CreateSession(stt_pb2.SessionRequest(
+            session_id="mm-1", attributes={"model_id": "alt"},
+        ))
+        pcm = (np.sin(np.linspace(0, 2000, 16000)) * 9000).astype(np.int16)
+
+        def chunks():
+            yield stt_pb2.AudioChunk(
+                session_id="mm-1", pcm16=pcm.tobytes(), sample_rate=16000
+            )
+            yield stt_pb2.AudioChunk(session_id="mm-1", is_final=True)
+
+        results = list(stub.StreamingRecognize(
+            chunks(), metadata=(("session-id", "mm-1"),)
+        ))
+        assert any(r.is_final and r.text for r in results)
+        models = json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/admin/list_models",
+            headers={"authorization": "Bearer itok"},
+        )).read())["models"]
+        assert {m["model_id"] for m in models} == {"default", "alt"}
+        channel.close()
