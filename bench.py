@@ -43,6 +43,8 @@ def main() -> None:
     parser.add_argument("--use-pallas", action="store_true", default=False,
                         help="use the Pallas mel kernel inside the fused "
                              "serve program (A/B; XLA mel is the default)")
+    parser.add_argument("--batch-buckets", default="1,2,4,8,16,32,64",
+                        help="comma-separated compiled batch shapes")
     args = parser.parse_args()
 
     import jax
@@ -59,6 +61,9 @@ def main() -> None:
         compute_type=args.compute_type,
         max_batch=args.streams,
         batch_window_ms=5.0,
+        batch_buckets=tuple(
+            int(b) for b in args.batch_buckets.split(",") if b.strip()
+        ),
         use_pallas=args.use_pallas and devices[0].platform != "cpu",
     )
     engine.start()
@@ -73,9 +78,14 @@ def main() -> None:
         ).astype(np.float32)
 
         bucket = engine._bucket_for(n)
-        log(f"prewarming bucket={bucket}s batch buckets={engine.batch_buckets}")
+        warm_sizes = [b for b in engine.batch_buckets if b <= args.streams]
+        if args.streams not in warm_sizes:
+            warm_sizes.append(engine._batch_bucket(args.streams))
+        # only the shapes this run will hit: the full batch + the tail shape
+        warm_sizes = sorted({warm_sizes[-1], engine._batch_bucket(args.streams)})
+        log(f"prewarming bucket={bucket}s batch sizes={warm_sizes}")
         compile_sec = engine.prewarm(
-            bucket_secs=[bucket], batch_sizes=list(engine.batch_buckets)
+            bucket_secs=[bucket], batch_sizes=warm_sizes
         )
         log(f"compile: {compile_sec:.1f}s")
 
