@@ -143,10 +143,17 @@ def _pack_result(res) -> jnp.ndarray:
 
 def _decode_best(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
-    max_new_tokens: int, beam_size: int,
+    max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
-    (the `accurate` profile). ``cache`` must hold B*beam_size rows."""
+    (the `accurate` profile). ``cache`` must hold B*beam_size rows.
+    ``with_timestamps`` selects the timestamp-token greedy decoder
+    (beam search stays no-timestamps, matching faster_whisper defaults)."""
+    if with_timestamps and beam_size <= 1:
+        return W.greedy_decode_timestamps(
+            params, enc, prompt, prompt_len, cache, config, n_head,
+            max_new_tokens,
+        )
     if beam_size <= 1:
         return W.greedy_decode(
             params, enc, prompt, prompt_len, cache, config, n_head,
@@ -160,16 +167,17 @@ def _decode_best(
 
 @partial(
     jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config", "beam_size"),
+    static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
+                     "with_timestamps"),
     donate_argnames=("cache",),
 )
 def _greedy_packed(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
-    max_new_tokens: int, beam_size: int = 1,
+    max_new_tokens: int, beam_size: int = 1, with_timestamps: bool = False,
 ) -> jnp.ndarray:
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head,
-        max_new_tokens, beam_size,
+        max_new_tokens, beam_size, with_timestamps,
     )
     return _pack_result(res)
 
@@ -177,13 +185,15 @@ def _greedy_packed(
 @partial(
     jax.jit,
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
-                     "max_new_tokens", "config", "use_pallas", "beam_size"),
+                     "max_new_tokens", "config", "use_pallas", "beam_size",
+                     "with_timestamps"),
     donate_argnames=("cache",),
 )
 def _serve_fixed_lang(
     params, rows, prompt, prompt_len, cache, config,
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
+    with_timestamps: bool = False,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch (log-mel -> encoder -> greedy
     decode -> packed outputs) for the fixed-language path. Auto-detect
@@ -193,7 +203,7 @@ def _serve_fixed_lang(
     enc = W.encode(params, mel, n_head_audio)
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
-        max_new_tokens, beam_size,
+        max_new_tokens, beam_size, with_timestamps,
     )
     return _pack_result(res)
 
@@ -384,7 +394,10 @@ class WhisperEngine:
             bucket = self._bucket_for(len(task.request.audio))
             p_len = len(self._prompt_for(task.request))
             beam = _beam_size_of(task.request)
-            groups.setdefault((bucket, p_len, beam), []).append(task)
+            with_ts = not bool(
+                task.request.options.get("without_timestamps", True)
+            )
+            groups.setdefault((bucket, p_len, beam, with_ts), []).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
             # a group can exceed the largest compiled batch shape when
@@ -484,6 +497,12 @@ class WhisperEngine:
 
         max_new = self._max_new_for(bucket_sec)
         beam = max(_beam_size_of(t.request) for t in group)
+        with_ts = any(
+            not bool(t.request.options.get("without_timestamps", True))
+            for t in group
+        )
+        if with_ts:
+            beam = 1  # timestamp decoding is greedy-only
         cache = W.init_kv_cache(
             self.config, batch_n * beam, p_len + max_new, dtype=self._dtype
         )
@@ -501,6 +520,7 @@ class WhisperEngine:
                 max_new_tokens=max_new,
                 use_pallas=self._use_pallas,
                 beam_size=beam,
+                with_timestamps=with_ts,
             )
         else:
             packed = _greedy_packed(
@@ -508,6 +528,7 @@ class WhisperEngine:
                 self.config, self.config.n_text_head,
                 max_new_tokens=max_new,
                 beam_size=beam,
+                with_timestamps=with_ts,
             )
         arr = np.asarray(packed)  # the ONE device->host transfer
         t_max = arr.shape[1] - 3
@@ -523,11 +544,30 @@ class WhisperEngine:
         outputs: List[DecodeOutput] = []
         for i, task in enumerate(group):
             n_gen = max(0, int(lengths[i]) - p_len)
-            text = self.tokenizer.decode(tokens[i, p_len : p_len + n_gen])
+            gen_tokens = tokens[i, p_len : p_len + n_gen]
             avg_lp = float(sum_lp[i] / max(1, n_gen))
-            segments = (
-                [Segment(0.0, durations[i], text)] if text.strip() else []
-            )
+            if with_ts:
+                # timestamps land on the padded bucket grid; clamp to the
+                # real audio duration and drop segments entirely in padding
+                segments = []
+                for start, end, toks in W.split_timestamp_segments(
+                    gen_tokens, self.config, durations[i]
+                ):
+                    if start >= durations[i]:
+                        continue
+                    seg_text = self.tokenizer.decode(toks)
+                    if not seg_text.strip():
+                        continue
+                    segments.append(Segment(
+                        max(0.0, min(start, durations[i])),
+                        max(0.0, min(end, durations[i])),
+                        seg_text,
+                    ))
+            else:
+                text = self.tokenizer.decode(gen_tokens)
+                segments = (
+                    [Segment(0.0, durations[i], text)] if text.strip() else []
+                )
             outputs.append(
                 DecodeOutput(
                     segments=segments,

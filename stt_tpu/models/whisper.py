@@ -638,6 +638,213 @@ def greedy_decode(
 
 
 # ---------------------------------------------------------------------------
+# Timestamp-mode greedy decoding (per-segment times)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config",
+                     "max_initial_timestamp"),
+    donate_argnames=("cache",),
+)
+def greedy_decode_timestamps(
+    params: Dict[str, Any],
+    enc_out: jnp.ndarray,
+    prompt: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    cache: KVCache,
+    config: WhisperConfig,
+    n_head: int,
+    max_new_tokens: int,
+    max_initial_timestamp: int = 50,  # 1.0 s at 0.02 s/token
+) -> DecodeResult:
+    """Greedy decode WITH timestamp tokens (openai-whisper timestamp rules,
+    ``whisper/decoding.py ApplyTimestampRules``): the prompt omits
+    ``no_timestamps``; generation interleaves ``<|t|>`` tokens with text.
+    Rules enforced per batch row inside the loop:
+
+    - the first generated token is a timestamp (capped at
+      ``max_initial_timestamp``)
+    - after a lone timestamp: only a timestamp (its pair) or EOT
+    - after a timestamp pair: text only (no third timestamp)
+    - timestamps are monotonically non-decreasing
+    - when total timestamp probability beats the best text token, a
+      timestamp is forced (whisper's sum-probability rule)
+
+    Host-side segmentation: :func:`split_timestamp_segments`.
+    """
+    layout = token_layout(config.n_vocab)
+    b, p_len = prompt.shape
+    t_max = cache.k.shape[2]
+    v = config.n_vocab
+    ts_begin = layout.timestamp_begin
+    cross_kv = precompute_cross_kv(params, enc_out)
+
+    # base suppression: specials in [sot, ts_begin) except eot stay banned;
+    # timestamp tokens are allowed
+    base = np.zeros(v, np.float32)
+    base[layout.sot:ts_begin] = -np.inf
+    base[layout.eot] = 0.0
+    base_mask = jnp.asarray(base)
+    vocab_ids = jnp.arange(v)
+    is_ts = vocab_ids >= ts_begin
+    is_text = vocab_ids < layout.eot
+    neg_inf = jnp.float32(-jnp.inf)
+
+    tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+    def prefill_step(i, state):
+        cache, no_speech_prob = state
+        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
+        logits, cache = _decoder_step(params, tok_i, i, cache, cross_kv,
+                                      n_head, i)
+        probs = jax.nn.softmax(logits, axis=-1)
+        no_speech_prob = jnp.where(
+            i == 0, probs[:, layout.no_speech], no_speech_prob
+        )
+        return cache, no_speech_prob
+
+    cache, no_speech_prob = jax.lax.fori_loop(
+        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    )
+
+    def cond(state):
+        (_, _, pos, finished, _, _, _, _) = state
+        return jnp.logical_and(
+            pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
+        )
+
+    def body(state):
+        (tokens, cache, pos, finished, sum_lp,
+         last_ts, last_was_ts, penult_was_ts) = state
+        last_tok = jax.lax.dynamic_slice(tokens, (0, pos - 1), (b, 1))[:, 0]
+        logits, cache = _decoder_step(
+            params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
+        )
+        logits = logits + base_mask
+
+        first_step = pos == p_len
+        # rule masks, per row
+        ban_ts = jnp.logical_and(last_was_ts, penult_was_ts)      # pair done
+        force_ts = jnp.logical_and(last_was_ts, ~penult_was_ts)   # need pair
+        mask = jnp.zeros((b, v), jnp.float32)
+        mask = jnp.where(
+            jnp.logical_and(ban_ts[:, None], is_ts[None, :]), neg_inf, mask
+        )
+        mask = jnp.where(
+            jnp.logical_and(force_ts[:, None], is_text[None, :]), neg_inf, mask
+        )
+        # monotonic timestamps
+        below_last = vocab_ids[None, :] < last_ts[:, None]
+        mask = jnp.where(
+            jnp.logical_and(is_ts[None, :], below_last), neg_inf, mask
+        )
+        # first generated token must be a timestamp within the initial cap
+        init_allowed = jnp.logical_and(
+            is_ts, vocab_ids <= ts_begin + max_initial_timestamp
+        )
+        mask = jnp.where(
+            jnp.logical_and(first_step, ~init_allowed)[None, :], neg_inf, mask
+        )
+        logits = logits + mask
+
+        # sum-probability rule
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_logprob = jax.nn.logsumexp(
+            jnp.where(is_ts[None, :], logprobs, neg_inf), axis=-1
+        )
+        max_text = jnp.max(
+            jnp.where(is_ts[None, :], neg_inf, logprobs), axis=-1
+        )
+        force_sumprob = ts_logprob > max_text
+        logits = jnp.where(
+            jnp.logical_and(force_sumprob[:, None], ~is_ts[None, :]),
+            neg_inf, logits,
+        )
+
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, layout.eot, next_tok)
+        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, pos))
+
+        next_is_ts = jnp.logical_and(~finished, next_tok >= ts_begin)
+        last_ts = jnp.where(next_is_ts, next_tok, last_ts)
+        penult_was_ts = jnp.where(finished, penult_was_ts,
+                                  jnp.logical_and(last_was_ts, next_is_ts))
+        last_was_ts = jnp.where(finished, last_was_ts, next_is_ts)
+        finished = jnp.logical_or(finished, next_tok == layout.eot)
+        return (tokens, cache, pos + 1, finished, sum_lp,
+                last_ts, last_was_ts, penult_was_ts)
+
+    init = (
+        tokens, cache,
+        jnp.asarray(p_len, jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.float32),
+        jnp.full((b,), ts_begin, jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), bool),
+    )
+    (tokens, cache, pos, finished, sum_lp, _, _, _) = jax.lax.while_loop(
+        cond, body, init
+    )
+    is_eot = jnp.logical_and(
+        tokens == layout.eot, jnp.arange(t_max)[None, :] >= p_len
+    )
+    first_eot = jnp.where(
+        is_eot.any(axis=1), jnp.argmax(is_eot, axis=1), pos
+    ).astype(jnp.int32)
+    return DecodeResult(tokens, first_eot, sum_lp, no_speech_prob)
+
+
+def split_timestamp_segments(
+    token_ids, config: WhisperConfig, duration: float
+):
+    """Host-side: split a timestamp-mode token sequence into
+    ``[(start_sec, end_sec, [text_token_ids...]), ...]``.
+
+    Whisper emits ``<|t0|> text… <|t1|><|t1|> text… <|t2|>``; a trailing
+    open segment (no closing timestamp before EOT) ends at ``duration``.
+    """
+    layout = token_layout(config.n_vocab)
+    ts_begin = layout.timestamp_begin
+    segments = []
+    seg_start: Optional[float] = None
+    seg_tokens: list = []
+    prev_was_ts = False
+    for tok in token_ids:
+        tok = int(tok)
+        if tok == layout.eot:
+            break
+        if tok >= ts_begin:
+            t_sec = (tok - ts_begin) * 0.02
+            if seg_start is None:
+                seg_start = t_sec
+            elif not prev_was_ts:
+                # closing timestamp
+                if seg_tokens:
+                    segments.append((seg_start, t_sec, seg_tokens))
+                seg_start = None
+                seg_tokens = []
+            else:
+                # second of a pair: opens the next segment
+                seg_start = t_sec
+            prev_was_ts = True
+        else:
+            if seg_start is None:
+                seg_start = 0.0
+            seg_tokens.append(tok)
+            prev_was_ts = False
+    if seg_tokens:
+        segments.append((seg_start or 0.0, duration, seg_tokens))
+    return segments
+
+
+# ---------------------------------------------------------------------------
 # Beam search (the `accurate` decode profile)
 # ---------------------------------------------------------------------------
 
@@ -848,6 +1055,8 @@ __all__ = [
     "get_config",
     "beam_decode",
     "greedy_decode",
+    "greedy_decode_timestamps",
+    "split_timestamp_segments",
     "init_kv_cache",
     "init_params",
     "load_hf_safetensors",

@@ -170,3 +170,23 @@ def test_group_larger_than_batch_bucket_splits():
             assert out.batch_rows <= 4
     finally:
         eng.close()
+
+
+def test_timestamp_mode_emits_real_segments():
+    """without_timestamps=False routes through timestamp decoding and emits
+    segments with in-range, ordered times."""
+    import numpy as np
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        max_batch=2)
+    rng = np.random.default_rng(0)
+    audio = rng.normal(0, 0.1, 32000).astype(np.float32)  # 2s
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=audio, language="en",
+        options={"without_timestamps": False},
+    ))
+    for seg in out.segments:
+        assert 0.0 <= seg.start <= seg.end <= 2.0 + 1e-6
+    starts = [s.start for s in out.segments]
+    assert starts == sorted(starts)

@@ -219,3 +219,78 @@ def test_beam_batch_rows_independent():
     np.testing.assert_array_equal(
         np.asarray(both.tokens)[0], np.asarray(solo.tokens)[0]
     )
+
+
+# -- timestamp decoding ---------------------------------------------------------
+
+
+def _ts_setup(seed=21):
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        encode, get_config, init_kv_cache, init_params, token_layout,
+    )
+
+    config = get_config("test")
+    layout = token_layout(config.n_vocab)
+    params = init_params(config, seed=seed)
+    rng = np.random.default_rng(seed)
+    mel = jnp.asarray(rng.normal(0, 1, (2, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    # timestamp-mode prompt: [sot, lang, task] (NO no_timestamps token)
+    prompt = jnp.asarray(
+        np.tile([layout.sot, layout.lang_begin, layout.transcribe], (2, 1))
+        .astype(np.int32)
+    )
+    return config, layout, params, enc, prompt
+
+
+def test_timestamp_decode_obeys_grammar():
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        greedy_decode_timestamps, init_kv_cache,
+    )
+
+    config, layout, params, enc, prompt = _ts_setup()
+    cache = init_kv_cache(config, 2, 40)
+    import jax.numpy as jnp
+    res = greedy_decode_timestamps(
+        params, enc, prompt, jnp.full((2,), 3, jnp.int32), cache,
+        config, config.n_text_head, max_new_tokens=30,
+    )
+    toks = np.asarray(res.tokens)
+    ts_begin = layout.timestamp_begin
+    for row in range(2):
+        gen = [int(t) for t in toks[row, 3:int(res.lengths[row])]]
+        assert gen, "no tokens generated"
+        # first generated token is a timestamp within the 1s initial cap
+        assert gen[0] >= ts_begin
+        assert gen[0] <= ts_begin + 50
+        # monotonic timestamps; never three in a row
+        ts_seen = [t for t in gen if t >= ts_begin]
+        assert ts_seen == sorted(ts_seen)
+        run = 0
+        for t in gen:
+            run = run + 1 if t >= ts_begin else 0
+            assert run <= 2
+
+
+def test_split_timestamp_segments():
+    from stt_tpu.models.whisper import (
+        get_config, split_timestamp_segments, token_layout,
+    )
+
+    config = get_config("test")
+    layout = token_layout(config.n_vocab)
+    tb = layout.timestamp_begin
+    # <|0.00|> hello(10,11) <|1.00|><|1.00|> world(12) <|2.00|> eot
+    seq = [tb + 0, 10, 11, tb + 50, tb + 50, 12, tb + 100, layout.eot]
+    segs = split_timestamp_segments(seq, config, duration=5.0)
+    assert segs == [(0.0, 1.0, [10, 11]), (1.0, 2.0, [12])]
+    # open trailing segment closes at the audio duration
+    seq2 = [tb + 0, 10, layout.eot]
+    assert split_timestamp_segments(seq2, config, 3.0) == [(0.0, 3.0, [10])]
+    # bare text with no timestamps at all
+    assert split_timestamp_segments([10, 11, layout.eot], config, 2.0) == [
+        (0.0, 2.0, [10, 11])
+    ]
