@@ -419,7 +419,7 @@ class WhisperEngine:
 
     def _prompt_for(self, request: DecodeRequest) -> List[int]:
         lang = request.language or None
-        return W.build_prompt(
+        sot_seq = W.build_prompt(
             self.config,
             lang if lang else "en",  # placeholder slot; overwritten on detect
             task=request.task,
@@ -427,6 +427,24 @@ class WhisperEngine:
                 request.options.get("without_timestamps", True)
             ),
         )
+        return self._context_prefix(request) + sot_seq
+
+    def _context_prefix(self, request: DecodeRequest) -> List[int]:
+        """[sot_prev] + encoded initial_prompt/hotwords, truncated to half
+        the text context (whisper conditioning semantics; reference
+        faster_whisper `initial_prompt`/`hotwords` options)."""
+        text = str(
+            request.options.get("initial_prompt")
+            or request.options.get("hotwords")
+            or ""
+        ).strip()
+        if not text:
+            return []
+        budget = self.config.n_text_ctx // 2 - 1
+        ids = self.tokenizer.encode(" " + text)[-budget:]
+        if not ids:
+            return []
+        return [self.layout.sot_prev] + list(ids)
 
     def _run_group(
         self, group: List[_Task], already_running: bool = False
@@ -568,6 +586,21 @@ class WhisperEngine:
                 segments = (
                     [Segment(0.0, durations[i], text)] if text.strip() else []
                 )
+            # whisper no-speech rule: silence when p(no_speech) is high AND
+            # the decode is low-confidence (reference faster_whisper defaults
+            # no_speech_threshold=0.6, log_prob_threshold=-1.0)
+            opts = task.request.options
+            ns_threshold = opts.get("no_speech_threshold", 0.6)
+            lp_threshold = opts.get(
+                "log_prob_threshold", opts.get("logprob_threshold", -1.0)
+            )
+            if (
+                ns_threshold is not None
+                and float(no_speech[i]) > float(ns_threshold)
+                and lp_threshold is not None
+                and avg_lp < float(lp_threshold)
+            ):
+                segments = []
             outputs.append(
                 DecodeOutput(
                     segments=segments,

@@ -190,3 +190,22 @@ def test_timestamp_mode_emits_real_segments():
         assert 0.0 <= seg.start <= seg.end <= 2.0 + 1e-6
     starts = [s.start for s in out.segments]
     assert starts == sorted(starts)
+
+
+def test_initial_prompt_prefixes_sot_prev():
+    import numpy as np
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32")
+    req = DecodeRequest(
+        audio=np.zeros(16000, np.float32), language="en",
+        options={"initial_prompt": "Hello context"},
+    )
+    prompt = eng._prompt_for(req)
+    assert prompt[0] == eng.layout.sot_prev
+    assert eng.layout.sot in prompt
+    # without the option: plain sot sequence
+    bare = eng._prompt_for(
+        DecodeRequest(audio=np.zeros(16000, np.float32), language="en")
+    )
+    assert bare[0] == eng.layout.sot
