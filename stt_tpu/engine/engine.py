@@ -91,6 +91,35 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _temperature_ladder(options: Dict[str, Any]) -> List[float]:
+    """faster_whisper semantics: a scalar temperature means a single rung
+    (no fallback); a list/tuple is the fallback ladder tried in order when
+    quality thresholds fail."""
+    raw = options.get("temperature", 0.0)
+    if isinstance(raw, (list, tuple)):
+        ladder = [float(t) for t in raw] or [0.0]
+    else:
+        try:
+            ladder = [float(raw)]
+        except (TypeError, ValueError):
+            ladder = [0.0]
+    return ladder
+
+
+def _needs_fallback(text: str, avg_lp: float, options: Dict[str, Any]) -> bool:
+    """whisper quality gate: repetitive (high compression ratio) or
+    low-confidence decodes trigger the next temperature rung."""
+    cr_threshold = options.get("compression_ratio_threshold", 2.4)
+    lp_threshold = options.get(
+        "log_prob_threshold", options.get("logprob_threshold", -1.0)
+    )
+    if cr_threshold is not None and W.compression_ratio(text) > float(cr_threshold):
+        return True
+    if lp_threshold is not None and avg_lp < float(lp_threshold):
+        return True
+    return False
+
+
 def _resolve_device(device: str):
     """Map config device names onto available JAX devices."""
     want_cpu = device in ("cpu",)
@@ -178,6 +207,22 @@ def _greedy_packed(
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, beam_size, with_timestamps,
+    )
+    return _pack_result(res)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config"),
+    donate_argnames=("cache",),
+)
+def _sample_packed(
+    params, enc, prompt, prompt_len, cache, config, n_head: int,
+    max_new_tokens: int, temperature, rng,
+) -> jnp.ndarray:
+    res = W.sample_decode(
+        params, enc, prompt, prompt_len, cache, config, n_head,
+        max_new_tokens, temperature=temperature, rng=rng,
     )
     return _pack_result(res)
 
@@ -548,22 +593,17 @@ class WhisperEngine:
                 beam_size=beam,
                 with_timestamps=with_ts,
             )
-        arr = np.asarray(packed)  # the ONE device->host transfer
-        t_max = arr.shape[1] - 3
-        tokens = arr[:, :t_max]
-        lengths = arr[:, t_max]
-        sum_lp = arr[:, t_max + 1].view(np.float32)
-        no_speech = arr[:, t_max + 2].view(np.float32)
-
-        elapsed = time.monotonic() - t_start
-        if self._metrics is not None:
-            self._metrics.record_engine_batch(n, batch_n, elapsed)
-
-        outputs: List[DecodeOutput] = []
-        for i, task in enumerate(group):
-            n_gen = max(0, int(lengths[i]) - p_len)
-            gen_tokens = tokens[i, p_len : p_len + n_gen]
-            avg_lp = float(sum_lp[i] / max(1, n_gen))
+        def row_output(arr: np.ndarray, i: int, task: _Task) -> DecodeOutput:
+            t_max = arr.shape[1] - 3
+            n_gen = max(0, int(arr[i, t_max]) - p_len)
+            gen_tokens = arr[i, p_len : p_len + n_gen]
+            avg_lp = float(
+                arr[i, t_max + 1 : t_max + 2].view(np.float32)[0]
+                / max(1, n_gen)
+            )
+            no_speech_p = float(
+                arr[i, t_max + 2 : t_max + 3].view(np.float32)[0]
+            )
             if with_ts:
                 # timestamps land on the padded bucket grid; clamp to the
                 # real audio duration and drop segments entirely in padding
@@ -596,20 +636,80 @@ class WhisperEngine:
             )
             if (
                 ns_threshold is not None
-                and float(no_speech[i]) > float(ns_threshold)
+                and no_speech_p > float(ns_threshold)
                 and lp_threshold is not None
                 and avg_lp < float(lp_threshold)
             ):
                 segments = []
-            outputs.append(
-                DecodeOutput(
-                    segments=segments,
-                    info=BackendInfo(langs[i], lang_ps[i]),
-                    inference_sec=elapsed,
-                    batch_rows=n,
-                    avg_logprob=avg_lp,
-                    no_speech_prob=float(no_speech[i]),
-                )
+            return DecodeOutput(
+                segments=segments,
+                info=BackendInfo(langs[i], lang_ps[i]),
+                inference_sec=0.0,  # stamped below
+                batch_rows=n,
+                avg_logprob=avg_lp,
+                no_speech_prob=no_speech_p,
+            )
+
+        arr = np.asarray(packed)  # the ONE device->host transfer
+        outputs = [row_output(arr, i, task) for i, task in enumerate(group)]
+
+        # temperature-fallback ladder (only when the options carry one)
+        ladder = _temperature_ladder(group[0].request.options)
+        if len(ladder) > 1 and not with_ts:
+            if ladder[0] > 0:
+                failing = list(range(len(group)))
+                rungs = ladder
+            else:
+                failing = [
+                    i for i, out in enumerate(outputs)
+                    if _needs_fallback(
+                        " ".join(s.text for s in out.segments),
+                        out.avg_logprob, group[i].request.options,
+                    )
+                ]
+                rungs = ladder[1:]
+            if failing:
+                if enc is None:
+                    enc = _mel_encode(
+                        self.params, rows_dev,
+                        self.config.n_audio_head, self.config.n_mels,
+                        self._dtype, use_pallas=self._use_pallas,
+                    )
+                for rung_idx, temp in enumerate(rungs):
+                    retry_cache = W.init_kv_cache(
+                        self.config, batch_n, p_len + max_new,
+                        dtype=self._dtype,
+                    )
+                    packed_r = _sample_packed(
+                        self.params, enc, prompt_dev, prompt_len_dev,
+                        retry_cache, self.config, self.config.n_text_head,
+                        max_new_tokens=max_new,
+                        temperature=jnp.float32(temp),
+                        rng=jax.random.PRNGKey(rung_idx + 1),
+                    )
+                    arr_r = np.asarray(packed_r)
+                    still = []
+                    for i in failing:
+                        retry_out = row_output(arr_r, i, group[i])
+                        outputs[i] = retry_out
+                        if _needs_fallback(
+                            " ".join(s.text for s in retry_out.segments),
+                            retry_out.avg_logprob, group[i].request.options,
+                        ):
+                            still.append(i)
+                    failing = still
+                    if not failing:
+                        break
+
+        elapsed = time.monotonic() - t_start
+        if self._metrics is not None:
+            self._metrics.record_engine_batch(n, batch_n, elapsed)
+        for i, out in enumerate(outputs):
+            outputs[i] = DecodeOutput(
+                segments=out.segments, info=out.info,
+                inference_sec=elapsed, batch_rows=out.batch_rows,
+                avg_logprob=out.avg_logprob,
+                no_speech_prob=out.no_speech_prob,
             )
         return outputs
 

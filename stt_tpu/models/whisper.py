@@ -638,6 +638,114 @@ def greedy_decode(
 
 
 # ---------------------------------------------------------------------------
+# Sampled decoding (temperature-fallback ladder)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config"),
+    donate_argnames=("cache",),
+)
+def sample_decode(
+    params: Dict[str, Any],
+    enc_out: jnp.ndarray,
+    prompt: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    cache: KVCache,
+    config: WhisperConfig,
+    n_head: int,
+    max_new_tokens: int,
+    temperature: jnp.ndarray = 1.0,
+    rng: Optional[jnp.ndarray] = None,
+) -> DecodeResult:
+    """Categorical sampling at a (traced) temperature — the retry rungs of
+    whisper's temperature-fallback ladder (reference faster_whisper passes
+    ``temperature`` tuples to CTranslate2). Structure mirrors
+    :func:`greedy_decode`; ``temperature`` is a runtime scalar so every rung
+    reuses ONE compiled program per shape."""
+    layout = token_layout(config.n_vocab)
+    b, p_len = prompt.shape
+    t_max = cache.k.shape[2]
+    cross_kv = precompute_cross_kv(params, enc_out)
+    suppress = jnp.asarray(_suppress_mask(config, True))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    temperature = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-3)
+
+    tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+    def prefill_step(i, state):
+        cache, no_speech_prob = state
+        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
+        logits, cache = _decoder_step(params, tok_i, i, cache, cross_kv,
+                                      n_head, i)
+        probs = jax.nn.softmax(logits, axis=-1)
+        no_speech_prob = jnp.where(
+            i == 0, probs[:, layout.no_speech], no_speech_prob
+        )
+        return cache, no_speech_prob
+
+    cache, no_speech_prob = jax.lax.fori_loop(
+        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    )
+
+    def cond(state):
+        _, _, pos, finished, _, _ = state
+        return jnp.logical_and(
+            pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
+        )
+
+    def body(state):
+        tokens, cache, pos, finished, sum_lp, key = state
+        last_tok = jax.lax.dynamic_slice(tokens, (0, pos - 1), (b, 1))[:, 0]
+        logits, cache = _decoder_step(
+            params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
+        )
+        logits = logits + suppress
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        key, sub = jax.random.split(key)
+        next_tok = jax.random.categorical(
+            sub, logits / temperature, axis=-1
+        ).astype(jnp.int32)
+        next_tok = jnp.where(finished, layout.eot, next_tok)
+        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, pos))
+        finished = jnp.logical_or(finished, next_tok == layout.eot)
+        return tokens, cache, pos + 1, finished, sum_lp, key
+
+    init = (
+        tokens, cache,
+        jnp.asarray(p_len, jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.float32),
+        rng,
+    )
+    tokens, cache, pos, finished, sum_lp, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    is_eot = jnp.logical_and(
+        tokens == layout.eot, jnp.arange(t_max)[None, :] >= p_len
+    )
+    first_eot = jnp.where(
+        is_eot.any(axis=1), jnp.argmax(is_eot, axis=1), pos
+    ).astype(jnp.int32)
+    return DecodeResult(tokens, first_eot, sum_lp, no_speech_prob)
+
+
+def compression_ratio(text: str) -> float:
+    """zlib compression ratio — whisper's repetition heuristic."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+# ---------------------------------------------------------------------------
 # Timestamp-mode greedy decoding (per-segment times)
 # ---------------------------------------------------------------------------
 

@@ -209,3 +209,27 @@ def test_initial_prompt_prefixes_sot_prev():
         DecodeRequest(audio=np.zeros(16000, np.float32), language="en")
     )
     assert bare[0] == eng.layout.sot
+
+
+def test_temperature_ladder_fallback():
+    """A temperature list triggers sampled re-decodes for low-quality rows
+    (random weights always fail the logprob gate, so all rungs run)."""
+    import numpy as np
+    from stt_tpu.engine.engine import (
+        DecodeRequest, WhisperEngine, _needs_fallback, _temperature_ladder,
+    )
+
+    assert _temperature_ladder({"temperature": 0.0}) == [0.0]
+    assert _temperature_ladder({"temperature": [0.0, 0.5]}) == [0.0, 0.5]
+    assert _needs_fallback("a a a a a a a a a a a a a a a a a a a a", -0.1,
+                           {"compression_ratio_threshold": 1.5})
+    assert _needs_fallback("fine text", -5.0, {})
+    assert not _needs_fallback("fine text", -0.1, {})
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32")
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=np.zeros(16000, np.float32), language="en",
+        options={"temperature": [0.0, 0.7], "log_prob_threshold": -0.0001},
+    ))
+    # the decode completed through the ladder and produced a result object
+    assert out.info.language == "en"
