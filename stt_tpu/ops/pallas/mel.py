@@ -69,8 +69,15 @@ def _mel_kernel(slabs_ref, basis_ref, mel_ref, out_ref):
     spec = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
     n_bins = n_fft // 2 + 1
     power = spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2  # (TILE_F, bins)
-    mel_power = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0, 0, :, :] = jnp.log10(jnp.maximum(mel_power, 1e-10))
+    # contract so the output lands already transposed: (n_mels, TILE_F) —
+    # downstream consumers want (B, n_mels, F) and an XLA transpose after
+    # the kernel costs more than the whole kernel
+    mel_power = jax.lax.dot_general(
+        mel_ref[:], power,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # mel_t (bins, n_mels) x power (TILE_F, bins) -> (n_mels, TILE_F)
+    out_ref[0, :, :] = jnp.log10(jnp.maximum(mel_power, 1e-10))
 
 
 @partial(jax.jit, static_argnames=("n_mels", "interpret"))
@@ -110,7 +117,7 @@ def log_mel_spectrogram_pallas(
     raw = pl.pallas_call(
         _mel_kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_tiles, TILE_F, n_mels), jnp.float32
+            (b, n_mels, n_tiles * TILE_F), jnp.float32
         ),
         grid=(b, n_tiles),
         in_specs=[
@@ -128,8 +135,8 @@ def log_mel_spectrogram_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, TILE_F, n_mels),
-            lambda bi, fi: (bi, fi, 0, 0),
+            (1, n_mels, TILE_F),
+            lambda bi, fi: (bi, 0, fi),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
@@ -137,8 +144,7 @@ def log_mel_spectrogram_pallas(
 
     # drop the padded tail frames, then clamp + normalize (needs the
     # per-row global max)
-    log_spec = raw.reshape(b, n_tiles * TILE_F, n_mels)[:, :n_frames]
-    log_spec = log_spec.transpose(0, 2, 1)
+    log_spec = raw[:, :, :n_frames]
     row_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, row_max - 8.0)
     return (log_spec + 4.0) / 4.0

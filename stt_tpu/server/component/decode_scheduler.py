@@ -309,6 +309,15 @@ class DecodeStream:
             if holds_slot:
                 self.scheduler.release_pending_slot()
             return
+        if decode_options and decode_options.get("condition_on_previous_text"):
+            # streaming conditioning: the committed transcript so far becomes
+            # the decode's sot_prev context (reference faster_whisper option;
+            # here it spans decode windows within the stream)
+            with self._lock:
+                committed = self._committed
+            if committed and not decode_options.get("initial_prompt"):
+                decode_options = dict(decode_options)
+                decode_options["initial_prompt"] = committed[-400:]
         future = self.scheduler.submit_fn(
             self.model_id,
             self.session_id or "unknown",

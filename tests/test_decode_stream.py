@@ -259,3 +259,39 @@ def test_hooks_fanout_on_result():
     list(stream.emit_ready(block=False))
     kinds = [k for k, _ in events]
     assert "result" in kinds and "vad" in kinds
+
+
+def test_condition_on_previous_text_injects_committed():
+    sched = make_scheduler()
+    stream = sched.new_stream()
+    # establish committed text via a final decode result path
+    stream._update_commit_state("hello world", True)
+    stream.schedule_decode(
+        b"\x00\x01" * 100, 16000,
+        {"condition_on_previous_text": True}, False, 0.0,
+    )
+    fut, model_id, session_id, pcm, is_final = sched._submitted[-1]
+    # options are passed positionally as the 5th arg of submit_fn; grab via
+    # a fresh scheduler capture instead
+    captured = {}
+
+    def submit_fn(model_id, session_id, pcm, rate, options, is_final):
+        captured.update(options or {})
+        import concurrent.futures as cf
+        return cf.Future()
+
+    from stt_tpu.server.component.decode_scheduler import DecodeScheduler
+    sched2 = DecodeScheduler(submit_fn=submit_fn)
+    stream2 = sched2.new_stream()
+    stream2._update_commit_state("previous words", True)
+    stream2.schedule_decode(
+        b"\x00\x01" * 100, 16000,
+        {"condition_on_previous_text": True}, False, 0.0,
+    )
+    assert captured.get("initial_prompt") == "previous words"
+    # without the option, no injection
+    captured.clear()
+    stream3 = sched2.new_stream()
+    stream3._update_commit_state("other", True)
+    stream3.schedule_decode(b"\x00\x01" * 100, 16000, {}, False, 0.0)
+    assert "initial_prompt" not in captured
