@@ -40,9 +40,10 @@ def main() -> None:
     parser.add_argument("--rounds", type=int, default=3,
                         help="measured rounds (best of)")
     parser.add_argument("--compute-type", default="bfloat16")
-    parser.add_argument("--use-pallas", action="store_true", default=False,
-                        help="use the Pallas mel kernel inside the fused "
-                             "serve program (A/B; XLA mel is the default)")
+    parser.add_argument("--no-pallas", dest="use_pallas",
+                        action="store_false", default=True,
+                        help="disable the Pallas mel kernel inside the "
+                             "fused serve program (A/B against XLA mel)")
     parser.add_argument("--batch-buckets", default="1,2,4,8,16,32,64",
                         help="comma-separated compiled batch shapes")
     args = parser.parse_args()

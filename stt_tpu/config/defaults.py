@@ -172,11 +172,11 @@ DEFAULT_TPU_AUDIO_BUCKETS_SEC = [1.0, 2.0, 5.0, 10.0, 30.0]
 DEFAULT_TPU_BATCH_BUCKETS = [1, 2, 4, 8, 16]
 DEFAULT_TPU_MAX_DECODE_TOKENS = 224
 DEFAULT_TPU_DECODE_TOKEN_CHUNK = 8     # tokens per engine step (preemption grain)
-# The standalone Pallas mel kernel is 3.8x faster than the XLA mel on a
-# v5e, but embedding it inside the fused serve program currently hurts
-# end-to-end batch throughput (layout/fusion boundary) — keep the XLA
-# path as the serving default until the integration is profiled.
-DEFAULT_TPU_USE_PALLAS = False
+# Pallas fused log-mel: 3.2x faster than the XLA mel standalone on a v5e
+# and, since the kernel emits the transposed (B, n_mels, F) layout
+# directly, the fused serve program matches XLA-mel throughput with better
+# partial latency (p95 55 ms vs 66 ms measured).
+DEFAULT_TPU_USE_PALLAS = True
 DEFAULT_TPU_PREFER_DONATION = True
 
 
