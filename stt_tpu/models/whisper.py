@@ -346,13 +346,65 @@ def _merge_heads(x):  # (B, H, T, Dh) -> (B, T, d)
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
+# Flash-attention policy: "auto" uses the Pallas TPU flash kernel for
+# unmasked self-attention at long sequence lengths (the encoder at 5 s+
+# buckets), where the materialized (B, H, T, T) score tensor dominates HBM
+# traffic; "off" forces the XLA einsum path everywhere (CPU always does).
+FLASH_ATTENTION = "auto"
+_FLASH_MIN_SEQ = 512
+
+
+def _flash_applicable(t: int) -> bool:
+    if FLASH_ATTENTION == "off" or t < _FLASH_MIN_SEQ:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _flash_self_attention(qh, kh, vh, sm_scale: float):
+    """Pallas TPU flash attention over 128-padded sequences; padding is
+    excluded via segment ids (pad rows form their own segment)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention,
+    )
+
+    b, h, t, dh = qh.shape
+    t_pad = (-t) % 128
+    if t_pad:
+        pad4 = ((0, 0), (0, 0), (0, t_pad), (0, 0))
+        qh = jnp.pad(qh, pad4)
+        kh = jnp.pad(kh, pad4)
+        vh = jnp.pad(vh, pad4)
+        seg = jnp.concatenate(
+            [jnp.ones((b, t), jnp.int32), jnp.zeros((b, t_pad), jnp.int32)],
+            axis=1,
+        )
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    out = flash_attention(
+        qh, kh, vh, segment_ids=segment_ids, causal=False, sm_scale=sm_scale
+    )
+    return out[:, :, :t, :]
+
+
 def _attention(q, k, v, n_head, mask=None):
     """q: (B, Tq, d); k/v: (B, Tk, d). Scaled as whisper (q,k each by
-    d_head**-0.25); f32 logits on the MXU."""
+    d_head**-0.25); f32 logits on the MXU. Long unmasked self-attention
+    (the encoder) routes to the Pallas flash kernel on TPU."""
     scale = (q.shape[-1] // n_head) ** -0.25
     qh = _split_heads(q, n_head) * scale
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
+    if (
+        mask is None
+        and q.shape[1] == k.shape[1]
+        and _flash_applicable(q.shape[1])
+    ):
+        out = _flash_self_attention(qh, kh, vh, sm_scale=1.0).astype(q.dtype)
+        return _merge_heads(out)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32)
     if mask is not None:
