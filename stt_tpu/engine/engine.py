@@ -264,6 +264,7 @@ class WhisperEngine:
         *,
         weights_path: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
+        device_index: Optional[int] = None,
         audio_buckets_sec: Sequence[float] = DEFAULT_AUDIO_BUCKETS_SEC,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         max_decode_tokens: int = 224,
@@ -276,7 +277,11 @@ class WhisperEngine:
         self.model_size = model_size
         self.device_kind = device
         self.compute_type = compute_type
-        self._device = _resolve_device(device)
+        if device_index is not None:
+            devices = jax.devices()
+            self._device = devices[device_index % len(devices)]
+        else:
+            self._device = _resolve_device(device)
         self._dtype = jnp.bfloat16 if compute_type == "bfloat16" else jnp.float32
         self._metrics = metrics
         # the Pallas front end is compiled-mode only; fall back to the XLA

@@ -12,11 +12,11 @@ Scheduling semantics are contract-identical to the reference registry
 
 The execution substrate is where this build diverges: instead of
 ``pool_size`` worker *threads* each calling a native library, a
-``jax_whisper`` pool owns ONE :class:`WhisperEngine` whose micro-batching
-loop serves every session's tasks together on the device (pool_size is kept
-as the engine's max concurrent batch hint). Protocol backends without an
-engine (``fake``; any external ModelBackend) run on a classic thread pool so
-the orchestrator above sees one uniform submit surface.
+``jax_whisper`` pool owns ``pool_size`` :class:`WhisperEngine` replicas —
+each pinned to a distinct device — whose micro-batching loops serve every
+session's tasks together (least-loaded replica wins). Protocol backends
+without an engine (``fake``; any external ModelBackend) run on a classic
+thread pool so the orchestrator above sees one uniform submit surface.
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ from concurrent import futures
 from dataclasses import dataclass, field
 from typing import Any, Deque, Dict, List, NamedTuple, Optional
 
+import jax
 import numpy as np
 
 from ..backends import get_backend
@@ -176,23 +177,36 @@ class _BasePool:
 
 
 class EnginePool(_BasePool):
-    """One WhisperEngine serving all sessions via micro-batching."""
+    """WhisperEngine replicas serving all sessions via micro-batching.
+
+    ``pool_size`` maps to device replicas (reference `pool_size` worker
+    threads -> engines pinned to distinct chips; SURVEY.md §5 "replicate
+    whisper-small per core"). Tasks go to the least-loaded replica.
+    """
 
     def __init__(
-        self, model_id: str, options: Dict[str, Any], engine: WhisperEngine
+        self, model_id: str, options: Dict[str, Any],
+        engines: "WhisperEngine | List[WhisperEngine]",
     ) -> None:
         super().__init__(model_id, options)
-        self.engine = engine
+        if isinstance(engines, WhisperEngine):
+            engines = [engines]
+        self.engines: List[WhisperEngine] = list(engines)
+        self.engine = self.engines[0]  # compat accessor
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name=f"dispatch-{model_id}", daemon=True
         )
 
     def start(self) -> None:
-        self.engine.start()
+        for engine in self.engines:
+            engine.start()
         self._dispatcher.start()
 
     def worker_count(self) -> int:
-        return 1
+        return len(self.engines)
+
+    def _pick_engine(self) -> WhisperEngine:
+        return min(self.engines, key=lambda e: e.pending())
 
     def _dispatch_loop(self) -> None:
         while not (self.queue.closed and self.queue.depth() == 0):
@@ -224,7 +238,7 @@ class EnginePool(_BasePool):
             session_id=task.session_id,
         )
         dispatch_time = time.perf_counter()
-        inner = self.engine.submit(request, cancel_event=task.cancel_event)
+        inner = self._pick_engine().submit(request, cancel_event=task.cancel_event)
         duration = len(audio) / 16000.0
 
         def _done(inner_future: futures.Future) -> None:
@@ -260,7 +274,8 @@ class EnginePool(_BasePool):
         self.closed = True
         self.queue.close()
         self._dispatcher.join(timeout=drain_timeout_sec or 10)
-        self.engine.close()
+        for engine in self.engines:
+            engine.close()
 
 
 class ThreadPool(_BasePool):
@@ -383,14 +398,26 @@ class ModelRegistry:
                     if k in options
                 }
             )
-            engine = WhisperEngine(
-                model_size,
-                device,
-                compute_type,
-                metrics=self._metrics,
-                **engine_kwargs,
-            )
-            pool: _BasePool = EnginePool(model_id, options, engine)
+            # pool_size = number of device replicas (capped at the number
+            # of matching devices; one engine per device)
+            want_cpu = device == "cpu"
+            matching = [
+                i for i, d in enumerate(jax.devices())
+                if (d.platform == "cpu") == want_cpu
+            ] or [0]
+            n_replicas = max(1, min(pool_size, len(matching)))
+            engines = [
+                WhisperEngine(
+                    model_size,
+                    device,
+                    compute_type,
+                    device_index=matching[r],
+                    metrics=self._metrics,
+                    **engine_kwargs,
+                )
+                for r in range(n_replicas)
+            ]
+            pool: _BasePool = EnginePool(model_id, options, engines)
         else:
             backends = [
                 backend_cls(model_size, device, compute_type)

@@ -189,3 +189,34 @@ def test_engine_pool_with_registry():
         assert all(r.language_code == "en" for r in results)
     finally:
         reg.close()
+
+
+def test_pool_size_creates_device_replicas():
+    """pool_size maps to engine replicas on distinct devices (virtual
+    8-device CPU mesh in tests)."""
+    import jax
+    from stt_tpu.engine.registry import ModelRegistry
+
+    registry = ModelRegistry()
+    registry.load_model("default", {
+        "backend": "jax_whisper", "model_size": "test",
+        "device": "cpu", "compute_type": "float32", "pool_size": 3,
+    })
+    try:
+        pools = registry.list_models()
+        assert pools[0]["pool_size"] == 3
+        summary = registry.health_summary()
+        assert summary["total_workers"] == min(3, jax.device_count())
+        # replicas pinned to distinct devices
+        pool = registry._pools["default"]
+        devices = {e._device for e in pool.engines}
+        assert len(devices) == len(pool.engines)
+        # a decode still round-trips
+        fut = registry.submit_decode(
+            "default", "s1", b"\x00\x01" * 8000, 16000, {"language": "en"},
+            True,
+        )
+        result = fut.result(timeout=120)
+        assert result.audio_duration > 0
+    finally:
+        registry.close(drain_timeout_sec=5)
