@@ -680,26 +680,44 @@ class WhisperEngine:
                         self.config.n_audio_head, self.config.n_mels,
                         self._dtype, use_pallas=self._use_pallas,
                     )
+                try:
+                    best_of = max(1, min(int(
+                        group[0].request.options.get("best_of", 1) or 1
+                    ), 5))
+                except (TypeError, ValueError):
+                    best_of = 1
                 for rung_idx, temp in enumerate(rungs):
-                    retry_cache = W.init_kv_cache(
-                        self.config, batch_n, p_len + max_new,
-                        dtype=self._dtype,
-                    )
-                    packed_r = _sample_packed(
-                        self.params, enc, prompt_dev, prompt_len_dev,
-                        retry_cache, self.config, self.config.n_text_head,
-                        max_new_tokens=max_new,
-                        temperature=jnp.float32(temp),
-                        rng=jax.random.PRNGKey(rung_idx + 1),
-                    )
-                    arr_r = np.asarray(packed_r)
+                    # best_of independent samples per rung; keep the highest
+                    # avg-logprob candidate per row (faster_whisper best_of)
+                    candidates: List[List[DecodeOutput]] = []
+                    for sample_idx in range(best_of if temp > 0 else 1):
+                        retry_cache = W.init_kv_cache(
+                            self.config, batch_n, p_len + max_new,
+                            dtype=self._dtype,
+                        )
+                        packed_r = _sample_packed(
+                            self.params, enc, prompt_dev, prompt_len_dev,
+                            retry_cache, self.config, self.config.n_text_head,
+                            max_new_tokens=max_new,
+                            temperature=jnp.float32(temp),
+                            rng=jax.random.PRNGKey(
+                                rung_idx * 131 + sample_idx + 1
+                            ),
+                        )
+                        arr_r = np.asarray(packed_r)
+                        candidates.append([
+                            row_output(arr_r, i, group[i]) for i in failing
+                        ])
                     still = []
-                    for i in failing:
-                        retry_out = row_output(arr_r, i, group[i])
-                        outputs[i] = retry_out
+                    for slot, i in enumerate(failing):
+                        best = max(
+                            (cand[slot] for cand in candidates),
+                            key=lambda o: o.avg_logprob,
+                        )
+                        outputs[i] = best
                         if _needs_fallback(
-                            " ".join(s.text for s in retry_out.segments),
-                            retry_out.avg_logprob, group[i].request.options,
+                            " ".join(s.text for s in best.segments),
+                            best.avg_logprob, group[i].request.options,
                         ):
                             still.append(i)
                     failing = still
