@@ -314,6 +314,20 @@ class WhisperEngine:
         self._running = False
         self._lock = threading.Lock()
 
+        # opt-in XLA profiling (SURVEY.md §5: keep the phase taxonomy, add
+        # jax.profiler hooks): STT_JAX_PROFILE_DIR=/path captures traces of
+        # the first STT_JAX_PROFILE_BATCHES (default 3) decode batches.
+        import os
+
+        self._profile_dir = os.getenv("STT_JAX_PROFILE_DIR") or None
+        try:
+            self._profile_batches = int(
+                os.getenv("STT_JAX_PROFILE_BATCHES", "3")
+            )
+        except ValueError:
+            self._profile_batches = 3
+        self._profiled = 0
+
     # -- sizing ---------------------------------------------------------------
 
     def _bucket_for(self, n_samples: int) -> float:
@@ -497,6 +511,15 @@ class WhisperEngine:
         return [self.layout.sot_prev] + list(ids)
 
     def _run_group(
+        self, group: List[_Task], already_running: bool = False
+    ) -> List[DecodeOutput]:
+        if self._profile_dir and self._profiled < self._profile_batches:
+            self._profiled += 1
+            with jax.profiler.trace(self._profile_dir):
+                return self._run_group_inner(group, already_running)
+        return self._run_group_inner(group, already_running)
+
+    def _run_group_inner(
         self, group: List[_Task], already_running: bool = False
     ) -> List[DecodeOutput]:
         t_start = time.monotonic()
