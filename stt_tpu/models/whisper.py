@@ -346,11 +346,13 @@ def _merge_heads(x):  # (B, H, T, Dh) -> (B, T, d)
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
-# Flash-attention policy: "auto" uses the Pallas TPU flash kernel for
-# unmasked self-attention at long sequence lengths (the encoder at 5 s+
-# buckets), where the materialized (B, H, T, T) score tensor dominates HBM
-# traffic; "off" forces the XLA einsum path everywhere (CPU always does).
-FLASH_ATTENTION = "auto"
+# Flash-attention policy: "auto" routes unmasked long-sequence
+# self-attention (the encoder at 5 s+ buckets) to the Pallas TPU flash
+# kernel; "off" keeps the XLA einsum path (CPU always does). Default off:
+# this serving workload is decode-loop-dominated and whisper's head_dim of
+# 64 underfills the kernel's 128-lane tiles, so flash mainly adds compile
+# time here. Flip with STT_FLASH_ATTENTION=auto for long-context regimes.
+FLASH_ATTENTION = os.getenv("STT_FLASH_ATTENTION", "off").strip().lower()
 _FLASH_MIN_SEQ = 512
 
 
