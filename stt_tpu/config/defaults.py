@@ -177,6 +177,12 @@ DEFAULT_TPU_DECODE_TOKEN_CHUNK = 8     # tokens per engine step (preemption grai
 # directly, the fused serve program matches XLA-mel throughput with better
 # partial latency (p95 55 ms vs 66 ms measured).
 DEFAULT_TPU_USE_PALLAS = True
+# Boot-time shape prewarm: compile (audio bucket x batch size) programs at
+# model load so first decodes never stall on XLA compilation (a cold shape
+# costs tens of seconds on TPU). Batch sizes cover the latency-critical
+# singles and the common batched shapes; larger shapes compile on first use.
+DEFAULT_TPU_PREWARM = True
+DEFAULT_TPU_PREWARM_BATCH_SIZES: list = [1, 2, 8]
 DEFAULT_TPU_PREFER_DONATION = True
 
 
@@ -284,6 +290,8 @@ SERVER_SECTION_MAP: Dict[str, Dict[str, str]] = {
         "max_decode_tokens": "tpu_max_decode_tokens",
         "decode_token_chunk": "tpu_decode_token_chunk",
         "use_pallas": "tpu_use_pallas",
+        "prewarm": "tpu_prewarm",
+        "prewarm_batch_sizes": "tpu_prewarm_batch_sizes",
         "prefer_donation": "tpu_prefer_donation",
     },
 }

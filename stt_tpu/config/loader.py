@@ -152,6 +152,10 @@ class ServerConfig:
     tpu_max_decode_tokens: int = d.DEFAULT_TPU_MAX_DECODE_TOKENS
     tpu_decode_token_chunk: int = d.DEFAULT_TPU_DECODE_TOKEN_CHUNK
     tpu_use_pallas: bool = d.DEFAULT_TPU_USE_PALLAS
+    tpu_prewarm: bool = d.DEFAULT_TPU_PREWARM
+    tpu_prewarm_batch_sizes: List[int] = field(
+        default_factory=lambda: list(d.DEFAULT_TPU_PREWARM_BATCH_SIZES)
+    )
     tpu_prefer_donation: bool = d.DEFAULT_TPU_PREFER_DONATION
 
 

@@ -392,21 +392,29 @@ class WhisperEngine:
         self,
         bucket_secs: Optional[Sequence[float]] = None,
         batch_sizes: Optional[Sequence[int]] = None,
+        *,
+        include_detect: bool = False,
     ) -> float:
         """Compile selected (audio-bucket, batch-bucket) programs up front.
 
-        Returns total compile wall-time. Serving never recompiles afterwards
-        for the warmed shapes.
+        ``include_detect`` also compiles the auto-language path (encode +
+        detect + two-phase decode) per shape. Returns total compile
+        wall-time; serving never recompiles afterwards for warmed shapes.
+        A first decode on an unwarmed shape stalls for the compile (tens of
+        seconds on TPU), so production boots should warm every shape the
+        stream mix can reach — see ``ApplicationRuntime`` boot prewarm.
         """
         t0 = time.monotonic()
+        languages = ["en"] + ([None] if include_detect else [])
         for sec in bucket_secs or self.audio_buckets_sec:
             for bsz in batch_sizes or (self.batch_buckets[0],):
-                audio = np.zeros(int(sec * SAMPLE_RATE), np.float32)
-                reqs = [
-                    _Task(DecodeRequest(audio=audio, language="en"), None)
-                    for _ in range(bsz)
-                ]
-                self._run_group(reqs)
+                for lang in languages:
+                    audio = np.zeros(int(sec * SAMPLE_RATE), np.float32)
+                    reqs = [
+                        _Task(DecodeRequest(audio=audio, language=lang), None)
+                        for _ in range(bsz)
+                    ]
+                    self._run_group(reqs)
         elapsed = time.monotonic() - t0
         if self._metrics is not None:
             self._metrics.record_engine_compile(elapsed)

@@ -382,6 +382,13 @@ class ModelRegistry:
         backend_cls = get_backend(backend_name)
         if backend_cls.__name__ == "JaxWhisperBackend":
             engine_kwargs = dict(self._engine_defaults)
+            do_prewarm = bool(
+                options.get("prewarm", engine_kwargs.pop("prewarm", True))
+            )
+            prewarm_sizes = options.get(
+                "prewarm_batch_sizes",
+                engine_kwargs.pop("prewarm_batch_sizes", [1]),
+            )
             engine_kwargs.update(
                 {
                     k: options[k]
@@ -418,6 +425,22 @@ class ModelRegistry:
                 for r in range(n_replicas)
             ]
             pool: _BasePool = EnginePool(model_id, options, engines)
+            if do_prewarm and device != "cpu":
+                # compile every reachable shape up front: a cold shape stalls
+                # its first decode for the full XLA compile (measured 10-15s
+                # first-partial latencies without this)
+                t0 = time.monotonic()
+                sizes = sorted({
+                    min(max(1, int(s)), engines[0].batch_buckets[-1])
+                    for s in prewarm_sizes
+                })
+                for eng in engines:
+                    eng.prewarm(batch_sizes=sizes, include_detect=True)
+                LOGGER.info(
+                    "prewarmed model_id=%s shapes=%sx%s in %.1fs",
+                    model_id, engines[0].audio_buckets_sec, sizes,
+                    time.monotonic() - t0,
+                )
         else:
             backends = [
                 backend_cls(model_size, device, compute_type)

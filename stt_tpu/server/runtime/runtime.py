@@ -90,6 +90,8 @@ class ApplicationRuntime:
                 "batch_window_ms": config.decode_batch_window_ms,
                 "max_batch": config.max_decode_batch_size,
                 "use_pallas": config.tpu_use_pallas,
+                "prewarm": config.tpu_prewarm,
+                "prewarm_batch_sizes": list(config.tpu_prewarm_batch_sizes),
             },
         )
 

@@ -304,7 +304,11 @@ def main() -> None:
 
     for i in range(args.warmup):
         rec = run_session(args, pcm, sample_rate, worker=-1, iteration=i)
-        print(f"[warmup {i}] ok={rec.ok} wall={rec.wall_sec:.2f}s", file=sys.stderr)
+        print(
+            f"[warmup {i}] ok={rec.ok} wall={rec.wall_sec:.2f}s"
+            + (f" error={rec.error}" if rec.error else ""),
+            file=sys.stderr,
+        )
 
     records: List[SessionRecord] = []
     records_lock = threading.Lock()
