@@ -423,14 +423,17 @@ class WhisperEngine:
     # -- batching loop --------------------------------------------------------
 
     def _loop(self) -> None:
+        self._inflight = None
         while True:
             try:
                 first = self._queue.get(timeout=0.25)
             except queue.Empty:
+                self._harvest_inflight()
                 if not self._running:
                     return
                 continue
             if first is None:
+                self._harvest_inflight()
                 return
             batch = [first]
             deadline = time.monotonic() + self.batch_window_sec
@@ -447,6 +450,9 @@ class WhisperEngine:
                     break
                 batch.append(nxt)
             self._process(batch)
+            if self._queue.empty():
+                # nothing queued behind us: finish the pipelined batch now
+                self._harvest_inflight()
             if not self._running and self._queue.empty():
                 return
 
@@ -476,16 +482,39 @@ class WhisperEngine:
             # max_batch > max(batch_buckets); split it into full sub-batches
             for start in range(0, len(group), max_rows):
                 sub = group[start:start + max_rows]
+                # pipeline: dispatch this sub-batch's device work, THEN
+                # harvest the previous one — its device->host readback
+                # overlaps this batch's compute (and, on tunneled devices,
+                # hides a full round-trip per batch)
                 try:
-                    outputs = self._run_group(sub, already_running=True)
-                except Exception as exc:  # propagate to every waiter
+                    ctx = self._device_phase(sub)
+                except Exception as exc:
                     for task in sub:
                         if not task.future.done():
                             task.future.set_exception(exc)
-                    continue
-                for task, out in zip(sub, outputs):
-                    if not task.future.done():
-                        task.future.set_result(out)
+                    ctx = None
+                self._harvest_inflight()
+                self._inflight = (sub, ctx)
+        # (the engine loop harvests the tail when the queue idles)
+
+    def _harvest_inflight(self) -> None:
+        inflight = getattr(self, "_inflight", None)
+        if inflight is None:
+            return
+        self._inflight = None
+        sub, ctx = inflight
+        if ctx is None:
+            return
+        try:
+            outputs = self._harvest(ctx)
+        except Exception as exc:
+            for task in sub:
+                if not task.future.done():
+                    task.future.set_exception(exc)
+            return
+        for task, out in zip(sub, outputs):
+            if not task.future.done():
+                task.future.set_result(out)
 
     # -- the batched decode pipeline ------------------------------------------
 
@@ -530,6 +559,13 @@ class WhisperEngine:
     def _run_group_inner(
         self, group: List[_Task], already_running: bool = False
     ) -> List[DecodeOutput]:
+        return self._harvest(self._device_phase(group))
+
+    def _device_phase(self, group: List[_Task]) -> Dict[str, Any]:
+        """Host prep + every device dispatch for one sub-batch; returns a
+        context whose ``packed`` array is still on device. No blocking
+        device->host read happens here (except language detection, whose
+        result changes the decode prompt)."""
         t_start = time.monotonic()
         n = len(group)
         bucket_sec = max(self._bucket_for(len(t.request.audio)) for t in group)
@@ -629,6 +665,33 @@ class WhisperEngine:
                 beam_size=beam,
                 with_timestamps=with_ts,
             )
+        return {
+            "group": group, "packed": packed, "enc": enc,
+            "rows_dev": rows_dev, "prompt_dev": prompt_dev,
+            "prompt_len_dev": prompt_len_dev, "durations": durations,
+            "langs": langs, "lang_ps": lang_ps, "p_len": p_len,
+            "with_ts": with_ts, "bucket_sec": bucket_sec,
+            "max_new": max_new, "batch_n": batch_n, "n": n,
+            "t_start": t_start,
+        }
+
+    def _harvest(self, ctx: Dict[str, Any]) -> List[DecodeOutput]:
+        """Blocking readback + host postprocessing (+ fallback ladder)."""
+        group = ctx["group"]
+        packed = ctx["packed"]
+        enc = ctx["enc"]
+        rows_dev = ctx["rows_dev"]
+        prompt_dev = ctx["prompt_dev"]
+        prompt_len_dev = ctx["prompt_len_dev"]
+        durations = ctx["durations"]
+        langs, lang_ps = ctx["langs"], ctx["lang_ps"]
+        p_len = ctx["p_len"]
+        with_ts = ctx["with_ts"]
+        bucket_sec = ctx["bucket_sec"]
+        max_new = ctx["max_new"]
+        batch_n, n = ctx["batch_n"], ctx["n"]
+        t_start = ctx["t_start"]
+
         def row_output(arr: np.ndarray, i: int, task: _Task) -> DecodeOutput:
             t_max = arr.shape[1] - 3
             n_gen = max(0, int(arr[i, t_max]) - p_len)
