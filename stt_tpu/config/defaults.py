@@ -179,10 +179,11 @@ DEFAULT_TPU_DECODE_TOKEN_CHUNK = 8     # tokens per engine step (preemption grai
 DEFAULT_TPU_USE_PALLAS = True
 # Boot-time shape prewarm: compile (audio bucket x batch size) programs at
 # model load so first decodes never stall on XLA compilation (a cold shape
-# costs tens of seconds on TPU). Batch sizes cover the latency-critical
-# singles and the common batched shapes; larger shapes compile on first use.
+# costs tens of seconds on TPU — measured 8-16s first-decode stalls when a
+# batch bucket was left cold). Empty list = every batch bucket, which is
+# the safe default: serving reaches ALL of them under load.
 DEFAULT_TPU_PREWARM = True
-DEFAULT_TPU_PREWARM_BATCH_SIZES: list = [1, 2, 8]
+DEFAULT_TPU_PREWARM_BATCH_SIZES: list = []
 DEFAULT_TPU_PREFER_DONATION = True
 
 

@@ -427,13 +427,16 @@ class ModelRegistry:
             pool: _BasePool = EnginePool(model_id, options, engines)
             if do_prewarm and device != "cpu":
                 # compile every reachable shape up front: a cold shape stalls
-                # its first decode for the full XLA compile (measured 10-15s
+                # its first decode for the full XLA compile (measured 8-16s
                 # first-partial latencies without this)
                 t0 = time.monotonic()
-                sizes = sorted({
-                    min(max(1, int(s)), engines[0].batch_buckets[-1])
-                    for s in prewarm_sizes
-                })
+                if prewarm_sizes:
+                    sizes = sorted({
+                        min(max(1, int(s)), engines[0].batch_buckets[-1])
+                        for s in prewarm_sizes
+                    })
+                else:
+                    sizes = list(engines[0].batch_buckets)
                 for eng in engines:
                     eng.prewarm(batch_sizes=sizes, include_detect=True)
                 LOGGER.info(
