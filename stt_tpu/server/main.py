@@ -141,9 +141,32 @@ def bind_grpc_port(server: grpc.Server, config: ServerConfig) -> int:
         return _bind(fallback)
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across restarts (boot prewarm compiles the
+    full shape matrix; with the cache a warm reboot skips all of it).
+    Disable with STT_XLA_CACHE_DIR=off."""
+    cache_dir = os.getenv("STT_XLA_CACHE_DIR", "").strip()
+    if cache_dir.lower() == "off":
+        return
+    if not cache_dir:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "stt_tpu_xla"
+        )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        LOGGER.info("XLA compilation cache at %s", cache_dir)
+    except Exception:
+        LOGGER.warning("could not enable XLA compilation cache", exc_info=True)
+
+
 def serve(config: ServerConfig, *, ready_event: Optional[threading.Event] = None) -> None:
     """Launch gRPC + HTTP + WS servers and block until shutdown."""
     enforce_ws_auth_guard(config)
+    _enable_compilation_cache()
 
     server_state = {"grpc_running": False}
     stop_event = threading.Event()
