@@ -265,6 +265,7 @@ class WhisperEngine:
         weights_path: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
         device_index: Optional[int] = None,
+        mesh_shape: Optional[Any] = None,
         audio_buckets_sec: Sequence[float] = DEFAULT_AUDIO_BUCKETS_SEC,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         max_decode_tokens: int = 224,
@@ -277,7 +278,17 @@ class WhisperEngine:
         self.model_size = model_size
         self.device_kind = device
         self.compute_type = compute_type
-        if device_index is not None:
+        self._mesh = None
+        if mesh_shape is not None and tuple(mesh_shape) not in ((1,), (1, 1)):
+            # multi-chip serving: shard the model over a (data, model) mesh
+            # (tensor parallelism for whisper-large; data axis for batch).
+            # GSPMD propagates from the committed param shardings, so the
+            # same jitted programs run SPMD with no code changes.
+            from ..parallel.sharding import build_mesh
+
+            self._mesh = build_mesh(tuple(mesh_shape))
+            self._device = None
+        elif device_index is not None:
             devices = jax.devices()
             self._device = devices[device_index % len(devices)]
         else:
@@ -297,7 +308,12 @@ class WhisperEngine:
             config = W.get_config(model_size)
             params = W.init_params(config, seed=seed, dtype=self._dtype)
         self.config = config
-        self.params = jax.device_put(params, self._device)
+        if self._mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            self.params = shard_params(params, self._mesh)
+        else:
+            self.params = jax.device_put(params, self._device)
         jax.block_until_ready(self.params)
         self.load_seconds = time.monotonic() - t0
         self.tokenizer = load_tokenizer(tokenizer_path, config.n_vocab)

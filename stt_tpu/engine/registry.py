@@ -405,25 +405,40 @@ class ModelRegistry:
                     if k in options
                 }
             )
-            # pool_size = number of device replicas (capped at the number
-            # of matching devices; one engine per device)
-            want_cpu = device == "cpu"
-            matching = [
-                i for i, d in enumerate(jax.devices())
-                if (d.platform == "cpu") == want_cpu
-            ] or [0]
-            n_replicas = max(1, min(pool_size, len(matching)))
-            engines = [
-                WhisperEngine(
-                    model_size,
-                    device,
-                    compute_type,
-                    device_index=matching[r],
-                    metrics=self._metrics,
-                    **engine_kwargs,
-                )
-                for r in range(n_replicas)
-            ]
+            mesh_shape = engine_kwargs.pop("mesh_shape", None)
+            if mesh_shape and tuple(mesh_shape) not in ((1,), (1, 1)):
+                # multi-chip: ONE mesh-sharded engine (TP/DP via GSPMD)
+                # instead of per-device replicas
+                engines = [
+                    WhisperEngine(
+                        model_size,
+                        device,
+                        compute_type,
+                        mesh_shape=tuple(mesh_shape),
+                        metrics=self._metrics,
+                        **engine_kwargs,
+                    )
+                ]
+            else:
+                # pool_size = number of device replicas (capped at the number
+                # of matching devices; one engine per device)
+                want_cpu = device == "cpu"
+                matching = [
+                    i for i, d in enumerate(jax.devices())
+                    if (d.platform == "cpu") == want_cpu
+                ] or [0]
+                n_replicas = max(1, min(pool_size, len(matching)))
+                engines = [
+                    WhisperEngine(
+                        model_size,
+                        device,
+                        compute_type,
+                        device_index=matching[r],
+                        metrics=self._metrics,
+                        **engine_kwargs,
+                    )
+                    for r in range(n_replicas)
+                ]
             pool: _BasePool = EnginePool(model_id, options, engines)
             if do_prewarm and device != "cpu":
                 # compile every reachable shape up front: a cold shape stalls

@@ -21,7 +21,11 @@ import threading
 import time
 from typing import Any, Dict, Optional
 
-from ...config.loader import ServerConfig, ensure_default_model_load_profile
+from ...config.loader import (
+    ServerConfig,
+    ensure_default_model_load_profile,
+    parse_mesh_shape,
+)
 from ...config.languages import SupportedLanguages
 from ...engine.registry import DEFAULT_MODEL_ID, ModelRegistry
 from ...utils.logging import LOGGER
@@ -92,6 +96,7 @@ class ApplicationRuntime:
                 "use_pallas": config.tpu_use_pallas,
                 "prewarm": config.tpu_prewarm,
                 "prewarm_batch_sizes": list(config.tpu_prewarm_batch_sizes),
+                "mesh_shape": parse_mesh_shape(config.tpu_mesh_shape),
             },
         )
 

@@ -233,3 +233,30 @@ def test_temperature_ladder_fallback():
     ))
     # the decode completed through the ladder and produced a result object
     assert out.info.language == "en"
+
+
+def test_mesh_sharded_engine_matches_single_device():
+    """TP-sharded serving (mesh 2x4 on the virtual CPU mesh) produces the
+    same transcription as the single-device engine."""
+    import jax
+    import numpy as np
+    import pytest
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    audio = np.random.default_rng(4).normal(0, 0.1, 16000).astype(np.float32)
+    req = lambda: DecodeRequest(audio=audio, language="en")
+
+    single = WhisperEngine("test", device="cpu", compute_type="float32")
+    out_single = single.transcribe_sync(req())
+
+    sharded = WhisperEngine("test", device="cpu", compute_type="float32",
+                            mesh_shape=(2, 4))
+    out_sharded = sharded.transcribe_sync(req())
+
+    text_single = " ".join(s.text for s in out_single.segments)
+    text_sharded = " ".join(s.text for s in out_sharded.segments)
+    assert text_sharded == text_single
+    assert abs(out_sharded.avg_logprob - out_single.avg_logprob) < 1e-2

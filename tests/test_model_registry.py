@@ -220,3 +220,30 @@ def test_pool_size_creates_device_replicas():
         assert result.audio_duration > 0
     finally:
         registry.close(drain_timeout_sec=5)
+
+
+def test_mesh_shape_creates_sharded_engine():
+    """tpu_mesh_shape != 1x1 loads one mesh-sharded engine instead of
+    replicas and still serves decodes."""
+    import jax
+    import pytest
+    from stt_tpu.engine.registry import ModelRegistry
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    registry = ModelRegistry(engine_defaults={"mesh_shape": (2, 4)})
+    registry.load_model("default", {
+        "backend": "jax_whisper", "model_size": "test",
+        "device": "cpu", "compute_type": "float32", "pool_size": 4,
+    })
+    try:
+        pool = registry._pools["default"]
+        assert len(pool.engines) == 1
+        assert pool.engines[0]._mesh is not None
+        fut = registry.submit_decode(
+            "default", "s1", b"\x00\x01" * 8000, 16000, {"language": "en"},
+            True,
+        )
+        assert fut.result(timeout=120).audio_duration > 0
+    finally:
+        registry.close(drain_timeout_sec=5)
