@@ -182,6 +182,11 @@ DEFAULT_TPU_USE_PALLAS = True
 # costs tens of seconds on TPU — measured 8-16s first-decode stalls when a
 # batch bucket was left cold). Empty list = every batch bucket, which is
 # the safe default: serving reaches ALL of them under load.
+# Accuracy-parity mode: whisper checkpoints are trained on 30 s windows and
+# the reference backends always pad to 30 s. Bucketed shorter windows are
+# faster (the latency default) but shift the input distribution slightly;
+# set true to force full-window padding for maximum transcript parity.
+DEFAULT_TPU_PAD_TO_30S = False
 DEFAULT_TPU_PREWARM = True
 DEFAULT_TPU_PREWARM_BATCH_SIZES: list = []
 DEFAULT_TPU_PREFER_DONATION = True
@@ -291,6 +296,7 @@ SERVER_SECTION_MAP: Dict[str, Dict[str, str]] = {
         "max_decode_tokens": "tpu_max_decode_tokens",
         "decode_token_chunk": "tpu_decode_token_chunk",
         "use_pallas": "tpu_use_pallas",
+        "pad_to_30s": "tpu_pad_to_30s",
         "prewarm": "tpu_prewarm",
         "prewarm_batch_sizes": "tpu_prewarm_batch_sizes",
         "prefer_donation": "tpu_prefer_donation",

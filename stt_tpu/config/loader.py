@@ -152,6 +152,7 @@ class ServerConfig:
     tpu_max_decode_tokens: int = d.DEFAULT_TPU_MAX_DECODE_TOKENS
     tpu_decode_token_chunk: int = d.DEFAULT_TPU_DECODE_TOKEN_CHUNK
     tpu_use_pallas: bool = d.DEFAULT_TPU_USE_PALLAS
+    tpu_pad_to_30s: bool = d.DEFAULT_TPU_PAD_TO_30S
     tpu_prewarm: bool = d.DEFAULT_TPU_PREWARM
     tpu_prewarm_batch_sizes: List[int] = field(
         default_factory=lambda: list(d.DEFAULT_TPU_PREWARM_BATCH_SIZES)

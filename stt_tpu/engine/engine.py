@@ -272,6 +272,7 @@ class WhisperEngine:
         batch_window_ms: float = 5.0,
         max_batch: int = 16,
         use_pallas: bool = False,
+        pad_to_30s: bool = False,
         metrics=None,
         seed: int = 0,
     ) -> None:
@@ -319,6 +320,10 @@ class WhisperEngine:
         self.tokenizer = load_tokenizer(tokenizer_path, config.n_vocab)
         self.layout = W.token_layout(config.n_vocab)
 
+        if pad_to_30s:
+            # accuracy-parity mode: every window pads to the full 30 s
+            # receptive field, exactly like the reference backends
+            audio_buckets_sec = (30.0,)
         self.audio_buckets_sec = tuple(sorted(audio_buckets_sec))
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.max_decode_tokens = int(max_decode_tokens)

@@ -401,6 +401,7 @@ class ModelRegistry:
                         "batch_window_ms",
                         "max_batch",
                         "use_pallas",
+                        "pad_to_30s",
                     )
                     if k in options
                 }

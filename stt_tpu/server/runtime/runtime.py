@@ -94,6 +94,7 @@ class ApplicationRuntime:
                 "batch_window_ms": config.decode_batch_window_ms,
                 "max_batch": config.max_decode_batch_size,
                 "use_pallas": config.tpu_use_pallas,
+                "pad_to_30s": config.tpu_pad_to_30s,
                 "prewarm": config.tpu_prewarm,
                 "prewarm_batch_sizes": list(config.tpu_prewarm_batch_sizes),
                 "mesh_shape": parse_mesh_shape(config.tpu_mesh_shape),

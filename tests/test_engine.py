@@ -260,3 +260,18 @@ def test_mesh_sharded_engine_matches_single_device():
     text_sharded = " ".join(s.text for s in out_sharded.segments)
     assert text_sharded == text_single
     assert abs(out_sharded.avg_logprob - out_single.avg_logprob) < 1e-2
+
+
+def test_pad_to_30s_accuracy_mode():
+    """pad_to_30s forces the full whisper receptive field for every window
+    (reference backends always pad to 30s)."""
+    import numpy as np
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        pad_to_30s=True)
+    assert eng.audio_buckets_sec == (30.0,)
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=np.zeros(16000, np.float32), language="en",
+    ))
+    assert out.segments == [] or out.segments[0].end <= 1.0 + 1e-6
