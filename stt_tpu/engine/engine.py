@@ -298,7 +298,12 @@ class WhisperEngine:
         self._metrics = metrics
         # the Pallas front end is compiled-mode only; fall back to the XLA
         # path on CPU backends (tests, --device cpu servers)
-        self._use_pallas = bool(use_pallas) and self._device.platform != "cpu"
+        platform = (
+            self._device.platform
+            if self._device is not None
+            else self._mesh.devices.flat[0].platform
+        )
+        self._use_pallas = bool(use_pallas) and platform != "cpu"
 
         t0 = time.monotonic()
         if weights_path:

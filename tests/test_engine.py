@@ -275,3 +275,22 @@ def test_pad_to_30s_accuracy_mode():
         audio=np.zeros(16000, np.float32), language="en",
     ))
     assert out.segments == [] or out.segments[0].end <= 1.0 + 1e-6
+
+
+def test_mesh_engine_with_pallas_flag_does_not_crash():
+    """Regression: mesh mode + use_pallas=True crashed on device.platform
+    (found driving a mesh server with the runtime defaults)."""
+    import jax
+    import numpy as np
+    import pytest
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        mesh_shape=(2, 4), use_pallas=True)
+    assert eng._use_pallas is False  # cpu mesh -> pallas disabled
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=np.zeros(16000, np.float32), language="en",
+    ))
+    assert out.batch_rows == 1
