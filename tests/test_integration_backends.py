@@ -1,0 +1,116 @@
+"""Backend-matrix integration (reference tests/test_integration_backends.py):
+the real jax_whisper data plane through the full gRPC stack on CPU.
+
+Uses the 'test' model config (full vocab, tiny dims) so boot compiles in
+seconds. The fake-backend integration suite covers control-plane behavior;
+this one proves the actual XLA decode path serves end to end.
+"""
+
+import json
+import os
+import urllib.request
+
+import grpc
+import numpy as np
+import pytest
+
+from stt_tpu.gen import stt_pb2, stt_pb2_grpc
+from tests.test_integration import _stub, temp_server
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("STT_SKIP_INTEGRATION") == "1",
+    reason="integration tests skipped (STT_SKIP_INTEGRATION=1)",
+)
+
+
+@pytest.fixture(scope="module")
+def jax_server():
+    with temp_server(extra_args=(
+        "--model", "test",
+        "--model-backend", "jax_whisper",
+        "--language", "en", "--language-fix",
+    )) as ports:
+        yield ports
+
+
+def _pcm(seconds: float, seed=3) -> bytes:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * seconds)) / 16000
+    sig = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.normal(0, 1, t.shape)
+    return (sig * 32767).astype(np.int16).tobytes()
+
+
+def test_jax_whisper_streaming_roundtrip(jax_server):
+    grpc_port, _ = jax_server
+    stub, channel = _stub(grpc_port)
+    sid = "jax-rt-1"
+    stub.CreateSession(stt_pb2.SessionRequest(
+        session_id=sid, attributes={"partial": "true"},
+    ))
+    pcm = _pcm(2.0)
+
+    def chunks():
+        step = 3200
+        for i in range(0, len(pcm), step):
+            yield stt_pb2.AudioChunk(
+                session_id=sid, pcm16=pcm[i:i + step], sample_rate=16000
+            )
+        yield stt_pb2.AudioChunk(session_id=sid, is_final=True, sample_rate=16000)
+
+    call = stub.StreamingRecognize(chunks(), metadata=(("session-id", sid),))
+    results = list(call)
+    assert any(r.is_final for r in results)
+    final = next(r for r in results if r.is_final)
+    assert final.text.strip()
+    assert final.language_code == "en"
+    assert 0.0 <= final.start_sec <= final.end_sec <= 2.5
+    trailing = {k: v for k, v in call.trailing_metadata()}
+    assert float(trailing["stt-decode-inference-sec"]) > 0
+    channel.close()
+
+
+def test_jax_whisper_accurate_profile(jax_server):
+    """Beam search through the wire (DECODE_PROFILE_ACCURATE)."""
+    grpc_port, _ = jax_server
+    stub, channel = _stub(grpc_port)
+    sid = "jax-acc-1"
+    stub.CreateSession(stt_pb2.SessionRequest(
+        session_id=sid,
+        decode_profile=stt_pb2.DECODE_PROFILE_ACCURATE,
+    ))
+    pcm = _pcm(1.0, seed=5)
+
+    def chunks():
+        yield stt_pb2.AudioChunk(session_id=sid, pcm16=pcm, sample_rate=16000)
+        yield stt_pb2.AudioChunk(session_id=sid, is_final=True, sample_rate=16000)
+
+    results = list(
+        stub.StreamingRecognize(chunks(), metadata=(("session-id", sid),))
+    )
+    assert any(r.is_final and r.text.strip() for r in results)
+    channel.close()
+
+
+def test_jax_whisper_resample_path(jax_server):
+    """8 kHz input resamples server-side before decode."""
+    grpc_port, _ = jax_server
+    stub, channel = _stub(grpc_port)
+    sid = "jax-8k-1"
+    stub.CreateSession(stt_pb2.SessionRequest(session_id=sid))
+    rng = np.random.default_rng(6)
+    t = np.arange(8000) / 8000
+    pcm = ((0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.05 * rng.normal(0, 1, t.shape)) * 32767).astype(
+        np.int16
+    ).tobytes()
+
+    def chunks():
+        yield stt_pb2.AudioChunk(session_id=sid, pcm16=pcm, sample_rate=8000)
+        yield stt_pb2.AudioChunk(session_id=sid, is_final=True, sample_rate=8000)
+
+    results = list(
+        stub.StreamingRecognize(chunks(), metadata=(("session-id", sid),))
+    )
+    final = next(r for r in results if r.is_final)
+    assert final.end_sec <= 1.2  # duration computed at the original rate
+    channel.close()
