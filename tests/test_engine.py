@@ -294,3 +294,55 @@ def test_mesh_engine_with_pallas_flag_does_not_crash():
         audio=np.zeros(16000, np.float32), language="en",
     ))
     assert out.batch_rows == 1
+
+
+def test_device_phase_failure_propagates_to_futures():
+    """An exception during the device phase must fail the waiting futures,
+    not hang them (pipelined path)."""
+    import numpy as np
+    from concurrent import futures as cf
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        batch_window_ms=20.0)
+    eng.start()
+    try:
+        def boom(group):
+            raise RuntimeError("injected device failure")
+        eng._device_phase = boom
+        futs = [
+            eng.submit(DecodeRequest(
+                audio=np.zeros(16000, np.float32), language="en",
+            ))
+            for _ in range(3)
+        ]
+        done, _ = cf.wait(futs, timeout=30)
+        assert len(done) == 3
+        for f in futs:
+            try:
+                f.result()
+                raise AssertionError("expected failure")
+            except RuntimeError as exc:
+                assert "injected" in str(exc)
+    finally:
+        eng.close()
+
+
+def test_close_resolves_or_cancels_all_pending():
+    """close() must not leave submitted futures hanging."""
+    import numpy as np
+    from concurrent import futures as cf
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        batch_window_ms=5.0)
+    eng.start()
+    futs = [
+        eng.submit(DecodeRequest(
+            audio=np.zeros(16000, np.float32), language="en",
+        ))
+        for _ in range(4)
+    ]
+    eng.close()
+    done, not_done = cf.wait(futs, timeout=60)
+    assert not not_done, f"{len(not_done)} futures left hanging after close"

@@ -607,3 +607,42 @@ def test_vad_gate_closed_on_finalize():
     h = Harness(config=cfg())
     h.run([chunk(), chunk(final=True)])
     assert h.vad_gate.closed
+
+
+def test_sample_rate_change_mid_stream():
+    """Chunks carrying a new sample rate update duration accounting."""
+    h = Harness(config=cfg())
+    results, ctx = h.run([
+        chunk(rate=16000),
+        chunk(pcm=b"\x00\x40" * 800, rate=8000),  # 100ms at 8k
+        chunk(final=True, pcm=b""),
+    ])
+    finals = [s for s in h.submitted if s["is_final"]]
+    assert len(finals) == 1
+    assert finals[0]["rate"] == 8000  # latest rate wins for the decode
+
+
+def test_zero_length_chunks_are_harmless():
+    h = Harness(config=cfg())
+    results, ctx = h.run([
+        chunk(pcm=b""), chunk(), chunk(pcm=b""), chunk(final=True, pcm=b""),
+    ])
+    assert ctx.aborted is None
+    finals = [s for s in h.submitted if s["is_final"]]
+    assert len(finals) == 1
+    assert len(finals[0]["pcm"]) == len(LOUD)
+
+
+def test_emit_final_on_vad_then_more_speech_new_utterance():
+    """After a VAD-final the stream stays open (CONTINUE) and a second
+    utterance produces a second final."""
+    script = [
+        FakeVADUpdate(triggered=True, silence=0.9),
+        FakeVADUpdate(),                       # new speech
+        FakeVADUpdate(triggered=True, silence=0.9),
+    ]
+    h = Harness(config=cfg(stream={"emit_final_on_vad": True}),
+                vad_script=script)
+    h.run([chunk(), chunk(), chunk()])
+    finals = [s for s in h.submitted if s["is_final"]]
+    assert len(finals) == 2
