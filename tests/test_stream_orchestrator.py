@@ -615,7 +615,7 @@ def test_sample_rate_change_mid_stream():
     results, ctx = h.run([
         chunk(rate=16000),
         chunk(pcm=b"\x00\x40" * 800, rate=8000),  # 100ms at 8k
-        chunk(final=True, pcm=b""),
+        chunk(final=True, pcm=b"", rate=8000),
     ])
     finals = [s for s in h.submitted if s["is_final"]]
     assert len(finals) == 1
