@@ -286,3 +286,49 @@ def test_admin_multi_model_serving(tone_wav):
         )).read())["models"]
         assert {m["model_id"] for m in models} == {"default", "alt"}
         channel.close()
+
+
+def test_ws_bridge_streaming(tone_wav):
+    """WS bridge end to end inside the subprocess server."""
+    import asyncio
+    import socket as socket_mod
+
+    import websockets
+
+    with socket_mod.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        ws_port = s.getsockname()[1]
+    with temp_server(
+        extra_args=("--ws-port", str(ws_port), "--vad-silence", "0.4"),
+        env_extra={"STT_ALLOW_INSECURE_WS": "1"},
+    ):
+        with wave.open(tone_wav, "rb") as wf:
+            pcm = wf.readframes(wf.getnframes())
+
+        async def drive():
+            async with websockets.connect(
+                f"ws://127.0.0.1:{ws_port}/ws/stream"
+            ) as ws:
+                await ws.send(json.dumps({
+                    "type": "start", "session_id": "int-ws-1",
+                    "sample_rate": 16000,
+                    "attributes": {"partial": "true"},
+                }))
+                hello = json.loads(await ws.recv())
+                assert hello["type"] == "session"
+                step = 3200
+                for i in range(0, len(pcm), step):
+                    await ws.send(pcm[i:i + step])
+                    await asyncio.sleep(0.02)
+                await ws.send(json.dumps({"type": "end"}))
+                kinds = []
+                while True:
+                    msg = json.loads(await ws.recv())
+                    kinds.append(msg["type"])
+                    if msg["type"] in ("done", "error"):
+                        return kinds, msg
+
+        kinds, last = asyncio.run(drive())
+        assert "result" in kinds
+        assert last["type"] == "done"
+        assert "stt-decode-count" in (last.get("trailing") or {})
