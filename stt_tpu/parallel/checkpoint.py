@@ -121,10 +121,15 @@ def export_hf_safetensors(path: str, params: Dict[str, Any], config) -> None:
     save_file(t, os.path.join(path, "model.safetensors"))
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump({
+            "model_type": "whisper",
+            "architectures": ["WhisperForConditionalGeneration"],
             "num_mel_bins": config.n_mels,
             "d_model": config.n_audio_state,
             "encoder_attention_heads": config.n_audio_head,
             "encoder_layers": config.n_audio_layer,
+            "encoder_ffn_dim": 4 * config.n_audio_state,
+            "decoder_ffn_dim": 4 * config.n_text_state,
+            "activation_function": "gelu",
             "vocab_size": config.n_vocab,
             "decoder_attention_heads": config.n_text_head,
             "decoder_layers": config.n_text_layer,
