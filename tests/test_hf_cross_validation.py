@@ -94,3 +94,50 @@ def test_decoder_logits_match_hf(models):
     ))
     np.testing.assert_allclose(ours, hf_logits, atol=1e-4)
     assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()
+
+
+def test_log_mel_matches_whisper_feature_extractor():
+    """Our log-mel front end == transformers' WhisperFeatureExtractor
+    (numpy reference implementation of whisper's official mel pipeline).
+    Measured max abs diff 1.8e-05."""
+    from transformers import WhisperFeatureExtractor
+
+    from stt_tpu.ops.mel import log_mel_spectrogram
+
+    fe = WhisperFeatureExtractor(feature_size=80)
+    rng = np.random.default_rng(0)
+    audio = (
+        0.3 * np.sin(2 * np.pi * 220 * np.arange(48000) / 16000)
+        + 0.05 * rng.normal(0, 1, 48000)
+    ).astype(np.float32)
+    hf_feats = fe(
+        audio, sampling_rate=16000, return_tensors="np",
+        padding="max_length",
+    ).input_features[0]
+    padded = np.zeros(480000, np.float32)
+    padded[: len(audio)] = audio
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(padded[None])))[0]
+    assert ours.shape == hf_feats.shape == (80, 3000)
+    np.testing.assert_allclose(ours, hf_feats, atol=1e-4)
+
+
+def test_pallas_mel_matches_feature_extractor():
+    """Transitively: the Pallas kernel (golden-equal to the XLA mel) also
+    matches the official pipeline."""
+    from transformers import WhisperFeatureExtractor
+
+    from stt_tpu.ops.pallas.mel import log_mel_spectrogram_pallas
+
+    fe = WhisperFeatureExtractor(feature_size=80)
+    rng = np.random.default_rng(1)
+    audio = rng.normal(0, 0.1, 32000).astype(np.float32)
+    hf_feats = fe(
+        audio, sampling_rate=16000, return_tensors="np",
+        padding="max_length",
+    ).input_features[0]
+    padded = np.zeros(480000, np.float32)
+    padded[: len(audio)] = audio
+    ours = np.asarray(
+        log_mel_spectrogram_pallas(jnp.asarray(padded[None]), interpret=True)
+    )[0]
+    np.testing.assert_allclose(ours, hf_feats, atol=1e-4)
