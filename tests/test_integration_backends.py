@@ -114,3 +114,86 @@ def test_jax_whisper_resample_path(jax_server):
     final = next(r for r in results if r.is_final)
     assert final.end_sec <= 1.2  # duration computed at the original rate
     channel.close()
+
+
+def test_serving_from_hf_checkpoint_dir(tmp_path):
+    """weights_path loading through the real server: export an HF-format
+    checkpoint, boot a server on it, decode."""
+    import subprocess
+    import sys
+    import time
+    import socket as socket_mod
+
+    import yaml
+
+    from stt_tpu.models.whisper import get_config, init_params
+    from stt_tpu.parallel.checkpoint import export_hf_safetensors
+    from tests.test_integration import REPO_ROOT, _free_port
+
+    config = get_config("test")
+    params = init_params(config, seed=77)
+    ckpt_dir = tmp_path / "ckpt"
+    export_hf_safetensors(str(ckpt_dir), params, config)
+
+    model_yaml = tmp_path / "model.yaml"
+    yaml.safe_dump({
+        "model": {
+            "backend": "jax_whisper", "name": "test", "device": "cpu",
+            "compute_type": "float32", "weights_path": str(ckpt_dir),
+            "language": "en", "language_fix": True,
+        }
+    }, open(model_yaml, "w"))
+
+    grpc_port, http_port = _free_port(), _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "stt_tpu.server.main",
+            "--model-config", str(model_yaml),
+            "--port", str(grpc_port), "--metrics-port", str(http_port),
+            "--ws-port", "0",
+        ],
+        cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    "server exited: "
+                    + proc.stdout.read().decode(errors="replace")
+                )
+            try:
+                if urllib.request.urlopen(
+                    f"http://127.0.0.1:{http_port}/health", timeout=1
+                ).status == 200:
+                    break
+            except Exception:
+                time.sleep(0.3)
+        else:
+            raise TimeoutError("server never healthy")
+        stub, channel = _stub(grpc_port)
+        stub.CreateSession(stt_pb2.SessionRequest(session_id="hf-ckpt-1"))
+        pcm = _pcm(1.0, seed=77)
+
+        def chunks():
+            yield stt_pb2.AudioChunk(
+                session_id="hf-ckpt-1", pcm16=pcm, sample_rate=16000
+            )
+            yield stt_pb2.AudioChunk(
+                session_id="hf-ckpt-1", is_final=True, sample_rate=16000
+            )
+
+        results = list(stub.StreamingRecognize(
+            chunks(), metadata=(("session-id", "hf-ckpt-1"),)
+        ))
+        assert any(r.is_final and r.text for r in results)
+        channel.close()
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
