@@ -150,11 +150,17 @@ def _mel_encode(
     return W.encode(params, mel, n_head)
 
 
-def _pack_result(res) -> jnp.ndarray:
-    """Pack a DecodeResult into ONE int32 array (B, T_max + 3):
-    [tokens | lengths | bitcast(sum_logprob) | bitcast(no_speech_prob)] so
-    the host fetches every decode output in a single device-to-host
-    transfer instead of four."""
+def _pack_result(res, lang_idx=None, lang_p=None) -> jnp.ndarray:
+    """Pack a DecodeResult into ONE int32 array (B, T_max + 5):
+    [tokens | lengths | bitcast(sum_logprob) | bitcast(no_speech_prob) |
+    lang_idx | bitcast(lang_prob)] so the host fetches every decode
+    output — including the detected language — in a single device-to-host
+    transfer instead of six."""
+    b = res.tokens.shape[0]
+    if lang_idx is None:
+        lang_idx = jnp.zeros((b,), jnp.int32)
+    if lang_p is None:
+        lang_p = jnp.ones((b,), jnp.float32)
     return jnp.concatenate(
         [
             res.tokens.astype(jnp.int32),
@@ -164,6 +170,10 @@ def _pack_result(res) -> jnp.ndarray:
             )[:, None],
             jax.lax.bitcast_convert_type(
                 res.no_speech_prob.astype(jnp.float32), jnp.int32
+            )[:, None],
+            lang_idx.astype(jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(
+                lang_p.astype(jnp.float32), jnp.int32
             )[:, None],
         ],
         axis=1,
@@ -231,26 +241,41 @@ def _sample_packed(
     jax.jit,
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
                      "max_new_tokens", "config", "use_pallas", "beam_size",
-                     "with_timestamps"),
+                     "with_timestamps", "detect", "lang_pos"),
     donate_argnames=("cache",),
 )
-def _serve_fixed_lang(
-    params, rows, prompt, prompt_len, cache, config,
+def _serve_step(
+    params, rows, prompt, prompt_len, auto_mask, cache, config,
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
-    with_timestamps: bool = False,
+    with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
 ) -> jnp.ndarray:
-    """Whole serving step in ONE dispatch (log-mel -> encoder -> greedy
-    decode -> packed outputs) for the fixed-language path. Auto-detect
-    needs a host round-trip between encode and decode (the detected
-    language changes the prompt), so it uses the two-phase path."""
+    """Whole serving step in ONE dispatch: log-mel -> encoder ->
+    (optional language detection, folded on-device) -> decode -> packed
+    outputs. With ``detect=True``, rows flagged by ``auto_mask`` get
+    their prompt's language slot (``prompt[:, lang_pos]``) overwritten
+    with the argmax detected language before decoding — no host
+    round-trip between encode and decode. The detected language index
+    and probability ride home in the packed array's last two columns."""
     mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
     enc = W.encode(params, mel, n_head_audio)
+    layout = W.token_layout(config.n_vocab)
+    given_idx = prompt[:, lang_pos] - layout.lang_begin
+    if detect:
+        probs = W.detect_language(params, enc, config, n_head_text)
+        det_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        det_p = jnp.max(probs, axis=-1).astype(jnp.float32)
+        lang_idx = jnp.where(auto_mask, det_idx, given_idx)
+        lang_p = jnp.where(auto_mask, det_p, jnp.float32(1.0))
+        prompt = prompt.at[:, lang_pos].set(layout.lang_begin + lang_idx)
+    else:
+        lang_idx = given_idx
+        lang_p = jnp.ones_like(given_idx, jnp.float32)
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps,
     )
-    return _pack_result(res)
+    return _pack_result(res, lang_idx, lang_p)
 
 
 class WhisperEngine:
@@ -423,8 +448,8 @@ class WhisperEngine:
     ) -> float:
         """Compile selected (audio-bucket, batch-bucket) programs up front.
 
-        ``include_detect`` also compiles the auto-language path (encode +
-        detect + two-phase decode) per shape. Returns total compile
+        ``include_detect`` also compiles the auto-language serve step
+        (detection folded on device) per shape. Returns total compile
         wall-time; serving never recompiles afterwards for warmed shapes.
         A first decode on an unwarmed shape stalls for the compile (tens of
         seconds on TPU), so production boots should warm every shape the
@@ -614,44 +639,36 @@ class WhisperEngine:
         # params pytree is committed to the device, which pins placement.
         rows_dev = jnp.asarray(rows)
         needs_detect = any(not t.request.language for t in group)
-        enc = None
-        lang_probs = None
-        if needs_detect:
-            # two-phase: the detected language changes the decode prompt,
-            # so one host round-trip is unavoidable here
-            enc = _mel_encode(
-                self.params, rows_dev,
-                self.config.n_audio_head, self.config.n_mels, self._dtype,
-                use_pallas=self._use_pallas,
-            )
-            lang_probs = np.asarray(
-                W.detect_language(
-                    self.params, enc, self.config, self.config.n_text_head
-                ),
-                dtype=np.float32,
-            )
 
+        # langs[i] is None for auto rows: the detection runs ON DEVICE
+        # inside the fused serve step (no encode->host->decode round-trip);
+        # _harvest resolves it from the packed result's language columns.
         prompts, langs, lang_ps = [], [], []
+        auto_mask = np.zeros((batch_n,), np.bool_)
+        sot_len = 4
         for i, task in enumerate(group):
             lang = task.request.language
             if not lang:
-                idx = int(lang_probs[i].argmax())
-                lang = W.WHISPER_LANG_CODES[idx]
-                lang_ps.append(float(lang_probs[i, idx]))
-            else:
+                auto_mask[i] = True
+                langs.append(None)
                 lang_ps.append(1.0)
-            langs.append(lang)
+            else:
+                langs.append(lang)
+                lang_ps.append(1.0)
+            without_ts = bool(
+                task.request.options.get("without_timestamps", True)
+            )
+            sot_len = 4 if without_ts else 3
             prompts.append(
-                W.build_prompt(
+                self._context_prefix(task.request) + W.build_prompt(
                     self.config,
-                    lang,
+                    lang if lang else "en",  # placeholder; set on device
                     task=task.request.task,
-                    without_timestamps=bool(
-                        task.request.options.get("without_timestamps", True)
-                    ),
+                    without_timestamps=without_ts,
                 )
             )
         p_len = len(prompts[0])
+        lang_pos = p_len - sot_len + 1  # the lang slot right after sot
         prompt_arr = np.full((batch_n, p_len), self.layout.eot, np.int32)
         for i, p in enumerate(prompts):
             prompt_arr[i] = p
@@ -669,32 +686,25 @@ class WhisperEngine:
         )
         prompt_dev = jnp.asarray(prompt_arr)
         prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
-        if enc is None:
-            # fixed language: entire step in one dispatch
-            packed = _serve_fixed_lang(
-                self.params, rows_dev, prompt_dev, prompt_len_dev, cache,
-                self.config,
-                n_head_audio=self.config.n_audio_head,
-                n_head_text=self.config.n_text_head,
-                n_mels=self.config.n_mels,
-                dtype=self._dtype,
-                max_new_tokens=max_new,
-                use_pallas=self._use_pallas,
-                beam_size=beam,
-                with_timestamps=with_ts,
-            )
-        else:
-            packed = _greedy_packed(
-                self.params, enc, prompt_dev, prompt_len_dev, cache,
-                self.config, self.config.n_text_head,
-                max_new_tokens=max_new,
-                beam_size=beam,
-                with_timestamps=with_ts,
-            )
+        packed = _serve_step(
+            self.params, rows_dev, prompt_dev, prompt_len_dev,
+            jnp.asarray(auto_mask), cache,
+            self.config,
+            n_head_audio=self.config.n_audio_head,
+            n_head_text=self.config.n_text_head,
+            n_mels=self.config.n_mels,
+            dtype=self._dtype,
+            max_new_tokens=max_new,
+            use_pallas=self._use_pallas,
+            beam_size=beam,
+            with_timestamps=with_ts,
+            detect=needs_detect,
+            lang_pos=lang_pos,
+        )
         return {
-            "group": group, "packed": packed, "enc": enc,
-            "rows_dev": rows_dev, "prompt_dev": prompt_dev,
-            "prompt_len_dev": prompt_len_dev, "durations": durations,
+            "group": group, "packed": packed,
+            "rows_dev": rows_dev, "prompt_arr": prompt_arr,
+            "lang_pos": lang_pos, "durations": durations,
             "langs": langs, "lang_ps": lang_ps, "p_len": p_len,
             "with_ts": with_ts, "bucket_sec": bucket_sec,
             "max_new": max_new, "batch_n": batch_n, "n": n,
@@ -705,10 +715,9 @@ class WhisperEngine:
         """Blocking readback + host postprocessing (+ fallback ladder)."""
         group = ctx["group"]
         packed = ctx["packed"]
-        enc = ctx["enc"]
         rows_dev = ctx["rows_dev"]
-        prompt_dev = ctx["prompt_dev"]
-        prompt_len_dev = ctx["prompt_len_dev"]
+        prompt_arr = ctx["prompt_arr"]
+        lang_pos = ctx["lang_pos"]
         durations = ctx["durations"]
         langs, lang_ps = ctx["langs"], ctx["lang_ps"]
         p_len = ctx["p_len"]
@@ -719,7 +728,7 @@ class WhisperEngine:
         t_start = ctx["t_start"]
 
         def row_output(arr: np.ndarray, i: int, task: _Task) -> DecodeOutput:
-            t_max = arr.shape[1] - 3
+            t_max = arr.shape[1] - 5
             n_gen = max(0, int(arr[i, t_max]) - p_len)
             gen_tokens = arr[i, p_len : p_len + n_gen]
             avg_lp = float(
@@ -776,6 +785,16 @@ class WhisperEngine:
             )
 
         arr = np.asarray(packed)  # the ONE device->host transfer
+        # resolve on-device-detected languages from the packed tail columns
+        t_max = arr.shape[1] - 5
+        for i in range(len(group)):
+            if langs[i] is None:
+                idx = int(arr[i, t_max + 3])
+                idx = min(max(idx, 0), len(W.WHISPER_LANG_CODES) - 1)
+                langs[i] = W.WHISPER_LANG_CODES[idx]
+                lang_ps[i] = float(
+                    arr[i, t_max + 4 : t_max + 5].view(np.float32)[0]
+                )
         outputs = [row_output(arr, i, task) for i, task in enumerate(group)]
 
         # temperature-fallback ladder (only when the options carry one)
@@ -794,12 +813,21 @@ class WhisperEngine:
                 ]
                 rungs = ladder[1:]
             if failing:
-                if enc is None:
-                    enc = _mel_encode(
-                        self.params, rows_dev,
-                        self.config.n_audio_head, self.config.n_mels,
-                        self._dtype, use_pallas=self._use_pallas,
+                enc = _mel_encode(
+                    self.params, rows_dev,
+                    self.config.n_audio_head, self.config.n_mels,
+                    self._dtype, use_pallas=self._use_pallas,
+                )
+                # the retry prompt needs the RESOLVED language in its lang
+                # slot (the main pass patched it on device; the host copy
+                # still holds the placeholder for auto rows)
+                for i, lang in enumerate(langs):
+                    prompt_arr[i, lang_pos] = (
+                        self.layout.lang_begin
+                        + W.WHISPER_LANG_CODES.index(lang)
                     )
+                prompt_dev = jnp.asarray(prompt_arr)
+                prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
                 try:
                     best_of = max(1, min(int(
                         group[0].request.options.get("best_of", 1) or 1

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+from stt_tpu.models import whisper as W
 from stt_tpu.server.runtime.metrics import Metrics
 
 RNG = np.random.default_rng(0)
@@ -346,3 +347,55 @@ def test_close_resolves_or_cancels_all_pending():
     eng.close()
     done, not_done = cf.wait(futs, timeout=60)
     assert not not_done, f"{len(not_done)} futures left hanging after close"
+
+
+def test_initial_prompt_tokens_reach_device_prompt():
+    """Regression: the conditioning prefix ([sot_prev] + encoded
+    initial_prompt) must land in the actual decoded prompt array, not
+    just in the grouping signature."""
+    from stt_tpu.engine.engine import _Task
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32")
+    req = DecodeRequest(
+        audio=np.zeros(16000, np.float32), language="en",
+        options={"initial_prompt": "Hello context"},
+    )
+    ctx = eng._device_phase([_Task(req, None)])
+    expected = eng._prompt_for(req)
+    assert list(ctx["prompt_arr"][0]) == expected
+    assert ctx["prompt_arr"][0][0] == eng.layout.sot_prev
+    # lang_pos indexes the language slot (right after sot)
+    lang_tok = ctx["prompt_arr"][0][ctx["lang_pos"]]
+    assert eng.layout.lang_begin <= lang_tok < (
+        eng.layout.lang_begin + len(W.WHISPER_LANG_CODES)
+    )
+    eng._harvest(ctx)  # completes cleanly
+    eng.close()
+
+
+def test_auto_and_fixed_language_share_one_batch(engine):
+    """Detection folded on device: an auto row and a fixed row decode in
+    the same fused dispatch; the fixed row's language is honored."""
+    f1 = engine.submit(_req(seed=11, language=None))
+    f2 = engine.submit(_req(seed=12, language="ko"))
+    o1, o2 = f1.result(timeout=120), f2.result(timeout=120)
+    assert o1.info.language in W.WHISPER_LANG_CODES
+    assert 0.0 <= o1.info.language_probability <= 1.0
+    assert o2.info.language == "ko"
+    assert o2.info.language_probability == 1.0
+
+
+def test_fallback_after_auto_detect_patches_prompt(engine):
+    """The retry ladder rebuilds the host prompt with the language
+    resolved on device (auto rows hold a placeholder until harvest)."""
+    out = engine.transcribe_sync(_req(
+        seed=13, language=None,
+        options={
+            "temperature": [0.0, 0.4],
+            # impossible gate: every first-pass decode "fails", forcing
+            # the resampling rung to run with the patched prompt
+            "compression_ratio_threshold": -1.0,
+            "log_prob_threshold": None,
+        },
+    ))
+    assert out.info.language in W.WHISPER_LANG_CODES
