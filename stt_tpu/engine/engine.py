@@ -91,6 +91,18 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _patience_of(request: DecodeRequest) -> float:
+    """openai-whisper beam patience (reference torch_whisper forwards it,
+    mlx drops it — stt_server/model/backends/torch_whisper.py:93). Only
+    meaningful with beam_size > 1; quantized to 0.25 steps so it stays a
+    well-behaved static compile key."""
+    try:
+        p = float(request.options.get("patience") or 1.0)
+    except (TypeError, ValueError):
+        p = 1.0
+    return max(1.0, min(round(p * 4) / 4, 4.0))
+
+
 def _temperature_ladder(options: Dict[str, Any]) -> List[float]:
     """faster_whisper semantics: a scalar temperature means a single rung
     (no fallback); a list/tuple is the fallback ladder tried in order when
@@ -183,6 +195,7 @@ def _pack_result(res, lang_idx=None, lang_p=None) -> jnp.ndarray:
 def _decode_best(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
+    patience: float = 1.0,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
     (the `accurate` profile). ``cache`` must hold B*beam_size rows.
@@ -200,25 +213,8 @@ def _decode_best(
         )
     return W.beam_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
-        max_new_tokens, beam_size=beam_size,
+        max_new_tokens, beam_size=beam_size, patience=patience,
     )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
-                     "with_timestamps"),
-    donate_argnames=("cache",),
-)
-def _greedy_packed(
-    params, enc, prompt, prompt_len, cache, config, n_head: int,
-    max_new_tokens: int, beam_size: int = 1, with_timestamps: bool = False,
-) -> jnp.ndarray:
-    res = _decode_best(
-        params, enc, prompt, prompt_len, cache, config, n_head,
-        max_new_tokens, beam_size, with_timestamps,
-    )
-    return _pack_result(res)
 
 
 @partial(
@@ -241,7 +237,7 @@ def _sample_packed(
     jax.jit,
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
                      "max_new_tokens", "config", "use_pallas", "beam_size",
-                     "with_timestamps", "detect", "lang_pos"),
+                     "with_timestamps", "detect", "lang_pos", "patience"),
     donate_argnames=("cache",),
 )
 def _serve_step(
@@ -249,6 +245,7 @@ def _serve_step(
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
+    patience: float = 1.0,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch: log-mel -> encoder ->
     (optional language detection, folded on-device) -> decode -> packed
@@ -273,7 +270,7 @@ def _serve_step(
         lang_p = jnp.ones_like(given_idx, jnp.float32)
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
-        max_new_tokens, beam_size, with_timestamps,
+        max_new_tokens, beam_size, with_timestamps, patience,
     )
     return _pack_result(res, lang_idx, lang_p)
 
@@ -523,10 +520,13 @@ class WhisperEngine:
             bucket = self._bucket_for(len(task.request.audio))
             p_len = len(self._prompt_for(task.request))
             beam = _beam_size_of(task.request)
+            patience = _patience_of(task.request) if beam > 1 else 1.0
             with_ts = not bool(
                 task.request.options.get("without_timestamps", True)
             )
-            groups.setdefault((bucket, p_len, beam, with_ts), []).append(task)
+            groups.setdefault(
+                (bucket, p_len, beam, with_ts, patience), []
+            ).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
             # a group can exceed the largest compiled batch shape when
@@ -675,6 +675,9 @@ class WhisperEngine:
 
         max_new = self._max_new_for(bucket_sec)
         beam = max(_beam_size_of(t.request) for t in group)
+        patience = max(
+            (_patience_of(t.request) for t in group), default=1.0
+        ) if beam > 1 else 1.0
         with_ts = any(
             not bool(t.request.options.get("without_timestamps", True))
             for t in group
@@ -700,6 +703,7 @@ class WhisperEngine:
             with_timestamps=with_ts,
             detect=needs_detect,
             lang_pos=lang_pos,
+            patience=patience,
         )
         return {
             "group": group, "packed": packed,

@@ -1011,9 +1011,129 @@ def split_timestamp_segments(
 # ---------------------------------------------------------------------------
 
 
+def _beam_decode_pooled(
+    params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
+    layout, suppress, b: int, k: int, p_len: int, t_max: int, v: int,
+    n_head: int, max_new_tokens: int, max_candidates: int,
+) -> DecodeResult:
+    """Patience > 1 beam search: finished hypotheses are banked into a
+    fixed-size per-row candidate pool (best ``max_candidates`` by sum
+    logprob) and their beam slot is freed to the next-best live
+    candidate, so the search keeps exploring until the pool fills
+    (openai-whisper ``BeamSearchDecoder`` patience semantics,
+    arXiv:2204.05424). Static shapes throughout: the pool is
+    (B, C, T) with -inf scores for empty entries."""
+    neg_inf = jnp.float32(-1e9)
+    bk = b * k
+    c = max_candidates
+    k2 = 2 * k
+    pool_tokens = jnp.full((b, c, t_max), layout.eot, jnp.int32)
+    pool_lp = jnp.full((b, c), neg_inf, jnp.float32)
+    pool_len = jnp.full((b, c), p_len, jnp.int32)
+    limit = min(p_len + max_new_tokens, t_max)
+
+    def pool_full(pool_lp):
+        n_fin = jnp.sum((pool_lp > neg_inf / 2).astype(jnp.int32), axis=1)
+        return n_fin >= c
+
+    def cond(state):
+        _, _, _, pos, pool_lp, _, _ = state
+        return jnp.logical_and(pos < limit, ~jnp.all(pool_full(pool_lp)))
+
+    def body(state):
+        tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len = state
+        last_tok = jax.lax.dynamic_slice(
+            tokens, (0, 0, pos - 1), (b, k, 1)
+        ).reshape(bk)
+        logits, cache = _decoder_step(
+            params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
+        )
+        logits = (logits + suppress).reshape(b, k, v)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        cand = sum_lp[:, :, None] + logprobs            # (B, K, V)
+        top_vals, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k2)
+        parent = top_idx // v                            # (B, 2K)
+        new_tok = (top_idx % v).astype(jnp.int32)
+        is_eot = new_tok == layout.eot
+
+        # bank finished candidates: merge into the pool, keep best C
+        cand_tokens = jnp.take_along_axis(
+            tokens, parent[:, :, None], axis=1
+        )                                                # (B, 2K, T)
+        cand_tokens = jax.lax.dynamic_update_slice(
+            cand_tokens,
+            jnp.full((b, k2, 1), layout.eot, jnp.int32),
+            (0, 0, pos),
+        )
+        fin_scores = jnp.where(is_eot, top_vals, neg_inf)
+        merged_lp = jnp.concatenate([pool_lp, fin_scores], axis=1)
+        merged_tokens = jnp.concatenate([pool_tokens, cand_tokens], axis=1)
+        merged_len = jnp.concatenate(
+            [pool_len, jnp.zeros((b, k2), jnp.int32) + pos], axis=1
+        )
+        pool_lp, keep_idx = jax.lax.top_k(merged_lp, c)
+        pool_tokens = jnp.take_along_axis(
+            merged_tokens, keep_idx[:, :, None], axis=1
+        )
+        pool_len = jnp.take_along_axis(merged_len, keep_idx, axis=1)
+
+        # keep the best K unfinished candidates live
+        live_scores = jnp.where(is_eot, neg_inf, top_vals)
+        sum_lp, live_sel = jax.lax.top_k(live_scores, k)  # (B, K)
+        live_parent = jnp.take_along_axis(parent, live_sel, axis=1)
+        live_tok = jnp.take_along_axis(new_tok, live_sel, axis=1)
+        tokens = jnp.take_along_axis(
+            tokens, live_parent[:, :, None], axis=1
+        )
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, live_tok[:, :, None], (0, 0, pos)
+        )
+
+        def reorder_cache(x):  # (L, B*K, T, d)
+            l, _, t, d = x.shape
+            x = x.reshape(l, b, k, t, d)
+            x = jnp.take_along_axis(
+                x, live_parent[None, :, :, None, None], axis=2
+            )
+            return x.reshape(l, bk, t, d)
+
+        cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
+        return tokens, cache, sum_lp, pos + 1, pool_lp, pool_tokens, pool_len
+
+    init = (
+        tokens, cache, sum_lp, jnp.asarray(p_len, jnp.int32),
+        pool_lp, pool_tokens, pool_len,
+    )
+    tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len = (
+        jax.lax.while_loop(cond, body, init)
+    )
+
+    # finalize by avg logprob; finished candidates take priority, live
+    # beams only fill in when a row ran out of steps with an empty pool
+    pool_gen = jnp.maximum(1, pool_len - p_len).astype(jnp.float32)
+    pool_avg = jnp.where(pool_lp > neg_inf / 2, pool_lp / pool_gen, neg_inf)
+    live_gen = jnp.maximum(1, pos - p_len).astype(jnp.float32)
+    any_finished = (pool_lp > neg_inf / 2).any(axis=1, keepdims=True)
+    live_avg = jnp.where(any_finished, neg_inf, sum_lp / live_gen)
+    all_avg = jnp.concatenate([pool_avg, live_avg], axis=1)   # (B, C+K)
+    all_lp = jnp.concatenate([pool_lp, sum_lp], axis=1)
+    all_len = jnp.concatenate(
+        [pool_len, jnp.zeros((b, k), jnp.int32) + pos], axis=1
+    )
+    all_tokens = jnp.concatenate([pool_tokens, tokens], axis=1)
+    best = jnp.argmax(all_avg, axis=1)
+    best_tokens = jnp.take_along_axis(
+        all_tokens, best[:, None, None], axis=1
+    )[:, 0, :]
+    best_len = jnp.take_along_axis(all_len, best[:, None], axis=1)[:, 0]
+    best_lp = jnp.take_along_axis(all_lp, best[:, None], axis=1)[:, 0]
+    return DecodeResult(best_tokens, best_len, best_lp, no_speech_prob)
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config", "beam_size"),
+    static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
+                     "patience"),
     donate_argnames=("cache",),
 )
 def beam_decode(
@@ -1026,6 +1146,7 @@ def beam_decode(
     n_head: int,
     max_new_tokens: int,
     beam_size: int = 5,
+    patience: float = 1.0,
 ) -> DecodeResult:
     """Fixed-width batched beam search in a ``lax.while_loop``.
 
@@ -1082,6 +1203,19 @@ def beam_decode(
     sum_lp = jnp.where(
         jnp.arange(k)[None, :] == 0, 0.0, neg_inf
     ) * jnp.ones((b, k), jnp.float32)
+
+    # openai-whisper patience (arXiv:2204.05424): keep collecting finished
+    # candidates until round(beam_size * patience) per row, freeing the
+    # slot of a finished beam instead of freezing it. patience == 1.0
+    # (max_candidates == k) keeps the frozen-slot algorithm below, whose
+    # stopping condition ("all k beams finished") is equivalent.
+    max_candidates = max(k, int(round(k * float(patience))))
+    if max_candidates > k:
+        return _beam_decode_pooled(
+            params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
+            layout, suppress, b, k, p_len, t_max, v, n_head,
+            max_new_tokens, max_candidates,
+        )
     finished = jnp.zeros((b, k), bool)
 
     # eot-only continuation row for finished beams (score frozen)

@@ -399,3 +399,13 @@ def test_fallback_after_auto_detect_patches_prompt(engine):
         },
     ))
     assert out.info.language in W.WHISPER_LANG_CODES
+
+
+def test_beam_patience_option_through_engine(engine):
+    """`patience` routes to the pooled beam search and groups separately
+    from patience=1.0 requests."""
+    out = engine.transcribe_sync(_req(
+        seed=14, options={"beam_size": 2, "patience": 2.0},
+    ))
+    assert out.info.language == "en"
+    assert out.batch_rows == 1

@@ -294,3 +294,90 @@ def test_split_timestamp_segments():
     assert split_timestamp_segments([10, 11, layout.eot], config, 2.0) == [
         (0.0, 2.0, [10, 11])
     ]
+
+
+def test_beam_patience_pooled_path():
+    """patience > 1 routes through the candidate-pool beam search: the
+    result stays well-formed, deterministic, and batch-row independent."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        beam_decode, encode, get_config, init_kv_cache, init_params,
+    )
+
+    config = get_config("test")
+    params = init_params(config, seed=6)
+    rng = np.random.default_rng(6)
+    mel = jnp.asarray(rng.normal(0, 1, (2, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(
+        np.tile([50258, 50259, 50359, 50363], (2, 1)).astype(np.int32)
+    )
+    plen = jnp.full((2,), 4, jnp.int32)
+
+    kwargs = dict(config=config, n_head=config.n_text_head,
+                  max_new_tokens=12, beam_size=2)
+    p2a = beam_decode(params, enc, prompt, plen,
+                      init_kv_cache(config, 4, 20), patience=2.0, **kwargs)
+    p2b = beam_decode(params, enc, prompt, plen,
+                      init_kv_cache(config, 4, 20), patience=2.0, **kwargs)
+    np.testing.assert_array_equal(np.asarray(p2a.tokens),
+                                  np.asarray(p2b.tokens))
+    assert p2a.tokens.shape == (2, 20)
+    lens = np.asarray(p2a.lengths)
+    assert ((lens >= 4) & (lens <= 20)).all()
+    assert np.isfinite(np.asarray(p2a.sum_logprob)).all()
+
+    # batch-row independence holds in the pooled variant too
+    solo = beam_decode(params, enc[:1], prompt[:1], plen[:1],
+                       init_kv_cache(config, 2, 20), patience=2.0, **kwargs)
+    np.testing.assert_array_equal(
+        np.asarray(p2a.tokens)[0], np.asarray(solo.tokens)[0]
+    )
+
+    # patience=1.0 still uses the frozen-slot algorithm (same entry point)
+    p1 = beam_decode(params, enc, prompt, plen,
+                     init_kv_cache(config, 4, 20), patience=1.0, **kwargs)
+    assert p1.tokens.shape == (2, 20)
+
+
+def test_beam_patience_banks_finished_candidates():
+    """Force eot early (bias the decoder token embedding toward eot) so
+    the pool actually banks finished hypotheses: the winner must then be
+    an eot-terminated sequence shorter than the step limit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        beam_decode, encode, get_config, init_kv_cache, init_params,
+        token_layout,
+    )
+
+    config = get_config("test")
+    params = init_params(config, seed=7)
+    layout = token_layout(config.n_vocab)
+    # zero the final layernorm gain and point its bias at the (scaled)
+    # eot embedding: the decoder's final hidden state becomes that
+    # constant, so eot is the argmax logit at every step
+    tok = np.array(params["decoder"]["tok"])  # writable copy
+    tok[layout.eot] *= 10.0
+    params = dict(params)
+    params["decoder"] = dict(params["decoder"])
+    params["decoder"]["tok"] = jnp.asarray(tok)
+    params["decoder"]["ln"] = {
+        "g": jnp.zeros_like(params["decoder"]["ln"]["g"]),
+        "b": jnp.asarray(tok[layout.eot]),
+    }
+
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(np.array([[50258, 50259, 50359, 50363]], np.int32))
+    plen = jnp.full((1,), 4, jnp.int32)
+    out = beam_decode(params, enc, prompt, plen,
+                      init_kv_cache(config, 2, 40), config,
+                      config.n_text_head, 30, beam_size=2, patience=2.0)
+    length = int(np.asarray(out.lengths)[0])
+    toks = np.asarray(out.tokens)[0]
+    assert length < 34  # finished before exhausting the budget
+    assert toks[length] == layout.eot
