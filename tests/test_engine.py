@@ -409,3 +409,36 @@ def test_beam_patience_option_through_engine(engine):
     ))
     assert out.info.language == "en"
     assert out.batch_rows == 1
+
+
+def test_prewarm_compiles_beam_shapes():
+    """prewarm(beam_sizes=...) exercises the beam program per shape so the
+    first accurate decode doesn't stall on a cold compile."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    elapsed = eng.prewarm(batch_sizes=[1], include_detect=False,
+                          beam_sizes=[1, 2], parallelism=2)
+    assert elapsed > 0
+    # serving still correct after threaded prewarm
+    out = eng.transcribe_sync(_req(seed=21))
+    assert out.info.language == "en"
+    eng.close()
+
+
+def test_runtime_derives_prewarm_beams_from_profiles():
+    """The shipped model.yaml `accurate` profile (beam_size 5) must land
+    in the runtime's prewarm beam set."""
+    import yaml
+
+    from stt_tpu.server.application.profile_resolver import (
+        normalize_decode_profiles,
+    )
+
+    with open("config/model.yaml") as f:
+        raw = yaml.safe_load(f)["model"]["decode_profiles"]
+    profiles = normalize_decode_profiles(raw)
+    beams = sorted(
+        {1} | {int(p.get("beam_size", 1) or 1) for p in profiles.values()}
+    )
+    assert beams == [1, 5]

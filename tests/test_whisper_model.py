@@ -381,3 +381,34 @@ def test_beam_patience_banks_finished_candidates():
     toks = np.asarray(out.tokens)[0]
     assert length < 34  # finished before exhausting the budget
     assert toks[length] == layout.eot
+
+
+def test_length_penalty_changes_ranking_only():
+    """length_penalty renormalizes final scores (CT2 semantics): with a
+    single beam candidate the winning tokens are unchanged; the exponent
+    must still be accepted by both beam variants."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        beam_decode, encode, get_config, init_kv_cache, init_params,
+    )
+
+    config = get_config("test")
+    params = init_params(config, seed=8)
+    rng = np.random.default_rng(8)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(np.array([[50258, 50259, 50359, 50363]], np.int32))
+    plen = jnp.full((1,), 4, jnp.int32)
+    kwargs = dict(config=config, n_head=config.n_text_head,
+                  max_new_tokens=10, beam_size=2)
+    base = beam_decode(params, enc, prompt, plen,
+                       init_kv_cache(config, 2, 20), **kwargs)
+    pen = beam_decode(params, enc, prompt, plen,
+                      init_kv_cache(config, 2, 20),
+                      length_penalty=0.5, **kwargs)
+    assert pen.tokens.shape == base.tokens.shape
+    pooled = beam_decode(params, enc, prompt, plen,
+                         init_kv_cache(config, 2, 20),
+                         patience=2.0, length_penalty=0.5, **kwargs)
+    assert pooled.tokens.shape == base.tokens.shape
