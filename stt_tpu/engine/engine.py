@@ -91,6 +91,12 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _suppress_blank_of(request: DecodeRequest) -> bool:
+    """faster_whisper `suppress_blank` (default True): never start a
+    transcript with a lone space or an immediate eot."""
+    return bool(request.options.get("suppress_blank", True))
+
+
 def _length_penalty_of(request: DecodeRequest) -> float:
     """CT2 length-normalization exponent (reference faster_whisper
     `length_penalty`); quantized to 0.25 so it stays a clean static
@@ -207,6 +213,7 @@ def _decode_best(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
     patience: float = 1.0, length_penalty: float = 1.0,
+    suppress_blank: bool = True,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
     (the `accurate` profile). ``cache`` must hold B*beam_size rows.
@@ -220,27 +227,29 @@ def _decode_best(
     if beam_size <= 1:
         return W.greedy_decode(
             params, enc, prompt, prompt_len, cache, config, n_head,
-            max_new_tokens,
+            max_new_tokens, suppress_blank=suppress_blank,
         )
     return W.beam_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, beam_size=beam_size, patience=patience,
-        length_penalty=length_penalty,
+        length_penalty=length_penalty, suppress_blank=suppress_blank,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config"),
+    static_argnames=("n_head", "max_new_tokens", "config",
+                     "suppress_blank"),
     donate_argnames=("cache",),
 )
 def _sample_packed(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
-    max_new_tokens: int, temperature, rng,
+    max_new_tokens: int, temperature, rng, suppress_blank: bool = True,
 ) -> jnp.ndarray:
     res = W.sample_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, temperature=temperature, rng=rng,
+        suppress_blank=suppress_blank,
     )
     return _pack_result(res)
 
@@ -250,7 +259,7 @@ def _sample_packed(
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
                      "max_new_tokens", "config", "use_pallas", "beam_size",
                      "with_timestamps", "detect", "lang_pos", "patience",
-                     "length_penalty"),
+                     "length_penalty", "suppress_blank"),
     donate_argnames=("cache",),
 )
 def _serve_step(
@@ -259,6 +268,7 @@ def _serve_step(
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
     patience: float = 1.0, length_penalty: float = 1.0,
+    suppress_blank: bool = True,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch: log-mel -> encoder ->
     (optional language detection, folded on-device) -> decode -> packed
@@ -284,7 +294,7 @@ def _serve_step(
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
-        length_penalty,
+        length_penalty, suppress_blank,
     )
     return _pack_result(res, lang_idx, lang_p)
 
@@ -566,11 +576,12 @@ class WhisperEngine:
             len_pen = (
                 _length_penalty_of(task.request) if beam > 1 else 1.0
             )
+            sb = _suppress_blank_of(task.request)
             with_ts = not bool(
                 task.request.options.get("without_timestamps", True)
             )
             groups.setdefault(
-                (bucket, p_len, beam, with_ts, patience, len_pen), []
+                (bucket, p_len, beam, with_ts, patience, len_pen, sb), []
             ).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
@@ -726,6 +737,7 @@ class WhisperEngine:
         len_pen = max(
             (_length_penalty_of(t.request) for t in group), default=1.0
         ) if beam > 1 else 1.0
+        sb = all(_suppress_blank_of(t.request) for t in group)
         with_ts = any(
             not bool(t.request.options.get("without_timestamps", True))
             for t in group
@@ -753,6 +765,7 @@ class WhisperEngine:
             lang_pos=lang_pos,
             patience=patience,
             length_penalty=len_pen,
+            suppress_blank=sb,
         )
         return {
             "group": group, "packed": packed,
@@ -900,6 +913,9 @@ class WhisperEngine:
                             self.params, enc, prompt_dev, prompt_len_dev,
                             retry_cache, self.config, self.config.n_text_head,
                             max_new_tokens=max_new,
+                            suppress_blank=_suppress_blank_of(
+                                group[0].request
+                            ),
                             temperature=jnp.float32(temp),
                             rng=jax.random.PRNGKey(
                                 rung_idx * 131 + sample_idx + 1

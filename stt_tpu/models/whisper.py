@@ -598,9 +598,24 @@ def _suppress_mask(config: WhisperConfig, suppress_blank: bool) -> np.ndarray:
     return mask
 
 
+BLANK_TOKEN = 220  # byte-level BPE id of " " (openai tokenizer.encode(" "))
+
+
+def _sample_begin_mask(config: WhisperConfig) -> np.ndarray:
+    """Additive mask for the FIRST generated position when
+    ``suppress_blank`` is on (faster_whisper/openai default): never start
+    a transcript with a lone space or an immediate eot (empty result)."""
+    layout = token_layout(config.n_vocab)
+    mask = np.zeros(config.n_vocab, np.float32)
+    mask[BLANK_TOKEN] = -np.inf
+    mask[layout.eot] = -np.inf
+    return mask
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config"),
+    static_argnames=("n_head", "max_new_tokens", "config",
+                     "suppress_blank"),
     donate_argnames=("cache",),
 )
 def greedy_decode(
@@ -612,6 +627,7 @@ def greedy_decode(
     config: WhisperConfig,
     n_head: int,
     max_new_tokens: int,
+    suppress_blank: bool = True,
 ) -> DecodeResult:
     """Batched greedy decode with per-row early stop.
 
@@ -625,6 +641,10 @@ def greedy_decode(
     t_max = cache.k.shape[2]
     cross_kv = precompute_cross_kv(params, enc_out)
     suppress = jnp.asarray(_suppress_mask(config, True))
+    begin = jnp.asarray(
+        _sample_begin_mask(config) if suppress_blank
+        else np.zeros(config.n_vocab, np.float32)
+    )
 
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
@@ -658,7 +678,9 @@ def greedy_decode(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = logits + suppress
+        logits = logits + suppress + jnp.where(
+            (pos == prompt_len)[:, None], begin[None, :], 0.0
+        )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, layout.eot, next_tok)
@@ -698,7 +720,8 @@ def greedy_decode(
 
 @partial(
     jax.jit,
-    static_argnames=("n_head", "max_new_tokens", "config"),
+    static_argnames=("n_head", "max_new_tokens", "config",
+                     "suppress_blank"),
     donate_argnames=("cache",),
 )
 def sample_decode(
@@ -712,6 +735,7 @@ def sample_decode(
     max_new_tokens: int,
     temperature: jnp.ndarray = 1.0,
     rng: Optional[jnp.ndarray] = None,
+    suppress_blank: bool = True,
 ) -> DecodeResult:
     """Categorical sampling at a (traced) temperature — the retry rungs of
     whisper's temperature-fallback ladder (reference faster_whisper passes
@@ -723,6 +747,10 @@ def sample_decode(
     t_max = cache.k.shape[2]
     cross_kv = precompute_cross_kv(params, enc_out)
     suppress = jnp.asarray(_suppress_mask(config, True))
+    begin = jnp.asarray(
+        _sample_begin_mask(config) if suppress_blank
+        else np.zeros(config.n_vocab, np.float32)
+    )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     temperature = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-3)
@@ -757,7 +785,9 @@ def sample_decode(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = logits + suppress
+        logits = logits + suppress + jnp.where(
+            (pos == prompt_len)[:, None], begin[None, :], 0.0
+        )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         key, sub = jax.random.split(key)
         next_tok = jax.random.categorical(
@@ -853,6 +883,7 @@ def greedy_decode_timestamps(
     is_ts = vocab_ids >= ts_begin
     is_text = vocab_ids < layout.eot
     neg_inf = jnp.float32(-jnp.inf)
+    begin_blank = jnp.zeros((v,), jnp.float32).at[BLANK_TOKEN].set(-jnp.inf)
 
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
@@ -885,7 +916,9 @@ def greedy_decode_timestamps(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = logits + base_mask
+        logits = logits + base_mask + jnp.where(
+            (pos == prompt_len)[:, None], begin_blank[None, :], 0.0
+        )
 
         first_step = pos == p_len
         # rule masks, per row
@@ -1013,8 +1046,8 @@ def split_timestamp_segments(
 
 def _beam_decode_pooled(
     params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
-    layout, suppress, b: int, k: int, p_len: int, t_max: int, v: int,
-    n_head: int, max_new_tokens: int, max_candidates: int,
+    layout, suppress, begin, b: int, k: int, p_len: int, t_max: int,
+    v: int, n_head: int, max_new_tokens: int, max_candidates: int,
     length_penalty: float = 1.0,
 ) -> DecodeResult:
     """Patience > 1 beam search: finished hypotheses are banked into a
@@ -1049,7 +1082,9 @@ def _beam_decode_pooled(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = (logits + suppress).reshape(b, k, v)
+        logits = (logits + suppress).reshape(b, k, v) + jnp.where(
+            pos == p_len, begin[None, None, :], 0.0
+        )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         cand = sum_lp[:, :, None] + logprobs            # (B, K, V)
         top_vals, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k2)
@@ -1140,7 +1175,7 @@ def _beam_decode_pooled(
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
-                     "patience", "length_penalty"),
+                     "patience", "length_penalty", "suppress_blank"),
     donate_argnames=("cache",),
 )
 def beam_decode(
@@ -1155,6 +1190,7 @@ def beam_decode(
     beam_size: int = 5,
     patience: float = 1.0,
     length_penalty: float = 1.0,
+    suppress_blank: bool = True,
 ) -> DecodeResult:
     """Fixed-width batched beam search in a ``lax.while_loop``.
 
@@ -1180,6 +1216,10 @@ def beam_decode(
     enc_bk = jnp.repeat(enc_out, k, axis=0)            # (B*K, T_a, d)
     cross_kv = precompute_cross_kv(params, enc_bk)
     suppress = jnp.asarray(_suppress_mask(config, True))
+    begin = jnp.asarray(
+        _sample_begin_mask(config) if suppress_blank
+        else np.zeros(config.n_vocab, np.float32)
+    )
 
     tokens = jnp.full((b, k, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -1221,7 +1261,7 @@ def beam_decode(
     if max_candidates > k:
         return _beam_decode_pooled(
             params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
-            layout, suppress, b, k, p_len, t_max, v, n_head,
+            layout, suppress, begin, b, k, p_len, t_max, v, n_head,
             max_new_tokens, max_candidates, length_penalty,
         )
     finished = jnp.zeros((b, k), bool)
@@ -1243,7 +1283,9 @@ def beam_decode(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = (logits + suppress).reshape(b, k, v)
+        logits = (logits + suppress).reshape(b, k, v) + jnp.where(
+            (pos == prompt_len)[:, None, None], begin[None, None, :], 0.0
+        )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         step_lp = jnp.where(finished[:, :, None], eot_only[None, None, :],
                             logprobs)

@@ -412,3 +412,46 @@ def test_length_penalty_changes_ranking_only():
                          init_kv_cache(config, 2, 20),
                          patience=2.0, length_penalty=0.5, **kwargs)
     assert pooled.tokens.shape == base.tokens.shape
+
+
+def test_suppress_blank_blocks_first_step_eot():
+    """With weights rigged so eot is always argmax: suppress_blank=True
+    forbids finishing at the first generated position (faster_whisper
+    semantics), suppress_blank=False allows the empty decode."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        encode, get_config, greedy_decode, init_kv_cache, init_params,
+        token_layout,
+    )
+
+    config = get_config("test")
+    params = init_params(config, seed=9)
+    layout = token_layout(config.n_vocab)
+    tok = np.array(params["decoder"]["tok"])
+    tok[layout.eot] *= 10.0
+    params = dict(params)
+    params["decoder"] = dict(params["decoder"])
+    params["decoder"]["tok"] = jnp.asarray(tok)
+    params["decoder"]["ln"] = {
+        "g": jnp.zeros_like(params["decoder"]["ln"]["g"]),
+        "b": jnp.asarray(tok[layout.eot]),
+    }
+
+    rng = np.random.default_rng(9)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(np.array([[50258, 50259, 50359, 50363]], np.int32))
+    plen = jnp.full((1,), 4, jnp.int32)
+
+    allowed = greedy_decode(params, enc, prompt, plen,
+                            init_kv_cache(config, 1, 16), config,
+                            config.n_text_head, 8, suppress_blank=False)
+    assert int(allowed.lengths[0]) == 4  # immediate eot = empty decode
+
+    blocked = greedy_decode(params, enc, prompt, plen,
+                            init_kv_cache(config, 1, 16), config,
+                            config.n_text_head, 8, suppress_blank=True)
+    toks = np.asarray(blocked.tokens)[0]
+    assert toks[4] != layout.eot          # first step forced off eot
+    assert int(blocked.lengths[0]) == 5   # eot allowed from step two
