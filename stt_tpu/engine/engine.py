@@ -91,6 +91,17 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _rep_penalty_of(request: DecodeRequest) -> float:
+    """CT2 `repetition_penalty` (reference faster_whisper option):
+    logits of already-emitted text tokens are penalized. Traced per-row
+    scalar — any value reuses one compiled program."""
+    try:
+        rp = float(request.options.get("repetition_penalty") or 1.0)
+    except (TypeError, ValueError):
+        rp = 1.0
+    return max(0.1, min(rp, 10.0))
+
+
 def _suppress_blank_of(request: DecodeRequest) -> bool:
     """faster_whisper `suppress_blank` (default True): never start a
     transcript with a lone space or an immediate eot."""
@@ -213,7 +224,7 @@ def _decode_best(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
     patience: float = 1.0, length_penalty: float = 1.0,
-    suppress_blank: bool = True,
+    suppress_blank: bool = True, rep_penalty=None,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
     (the `accurate` profile). ``cache`` must hold B*beam_size rows.
@@ -228,11 +239,13 @@ def _decode_best(
         return W.greedy_decode(
             params, enc, prompt, prompt_len, cache, config, n_head,
             max_new_tokens, suppress_blank=suppress_blank,
+            rep_penalty=rep_penalty,
         )
     return W.beam_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, beam_size=beam_size, patience=patience,
         length_penalty=length_penalty, suppress_blank=suppress_blank,
+        rep_penalty=rep_penalty,
     )
 
 
@@ -245,11 +258,12 @@ def _decode_best(
 def _sample_packed(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, temperature, rng, suppress_blank: bool = True,
+    rep_penalty=None,
 ) -> jnp.ndarray:
     res = W.sample_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, temperature=temperature, rng=rng,
-        suppress_blank=suppress_blank,
+        suppress_blank=suppress_blank, rep_penalty=rep_penalty,
     )
     return _pack_result(res)
 
@@ -263,7 +277,8 @@ def _sample_packed(
     donate_argnames=("cache",),
 )
 def _serve_step(
-    params, rows, prompt, prompt_len, auto_mask, cache, config,
+    params, rows, prompt, prompt_len, auto_mask, rep_penalty, cache,
+    config,
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
@@ -294,7 +309,7 @@ def _serve_step(
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
-        length_penalty, suppress_blank,
+        length_penalty, suppress_blank, rep_penalty,
     )
     return _pack_result(res, lang_idx, lang_p)
 
@@ -749,9 +764,12 @@ class WhisperEngine:
         )
         prompt_dev = jnp.asarray(prompt_arr)
         prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
+        rep_arr = np.ones((batch_n,), np.float32)
+        for i, task in enumerate(group):
+            rep_arr[i] = _rep_penalty_of(task.request)
         packed = _serve_step(
             self.params, rows_dev, prompt_dev, prompt_len_dev,
-            jnp.asarray(auto_mask), cache,
+            jnp.asarray(auto_mask), jnp.asarray(rep_arr), cache,
             self.config,
             n_head_audio=self.config.n_audio_head,
             n_head_text=self.config.n_text_head,
@@ -915,6 +933,11 @@ class WhisperEngine:
                             max_new_tokens=max_new,
                             suppress_blank=_suppress_blank_of(
                                 group[0].request
+                            ),
+                            rep_penalty=jnp.asarray(
+                                [_rep_penalty_of(t.request) for t in group]
+                                + [1.0] * (batch_n - len(group)),
+                                jnp.float32,
                             ),
                             temperature=jnp.float32(temp),
                             rng=jax.random.PRNGKey(

@@ -612,6 +612,29 @@ def _sample_begin_mask(config: WhisperConfig) -> np.ndarray:
     return mask
 
 
+
+def _seen_text_mask(tokens, prompt_len, layout, v: int):
+    """(B, V) bool: text tokens present in each row's logical prompt
+    (positions < prompt_len; specials excluded). Seed for the
+    repetition-penalty seen-set."""
+    b, t = tokens.shape
+    in_prompt = jnp.arange(t)[None, :] < prompt_len[:, None]
+    ids = jnp.where(in_prompt, tokens, v)  # out-of-range -> dropped
+    seen = jnp.zeros((b, v + 1), bool)
+    seen = seen.at[jnp.arange(b)[:, None], ids].set(True)
+    seen = seen[:, :v]
+    return seen.at[:, layout.eot:].set(False)
+
+
+def _apply_repetition_penalty(logits, seen, rep_penalty):
+    """CT2 semantics: logits of already-seen tokens are divided by the
+    penalty when positive, multiplied when negative. rep_penalty is a
+    traced per-row scalar (B,), 1.0 = no-op."""
+    rp = rep_penalty.reshape(rep_penalty.shape[0], *([1] * (logits.ndim - 1)))
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    return jnp.where(seen, penalized, logits)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config",
@@ -628,6 +651,7 @@ def greedy_decode(
     n_head: int,
     max_new_tokens: int,
     suppress_blank: bool = True,
+    rep_penalty: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Batched greedy decode with per-row early stop.
 
@@ -665,19 +689,23 @@ def greedy_decode(
     cache, no_speech_prob = jax.lax.fori_loop(
         0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
     )
+    if rep_penalty is None:
+        rep_penalty = jnp.ones((b,), jnp.float32)
+    seen0 = _seen_text_mask(tokens, prompt_len, layout, config.n_vocab)
 
     def cond(state):
-        _, _, pos, finished, _ = state
+        _, _, pos, finished, _, _ = state
         return jnp.logical_and(
             pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
         )
 
     def body(state):
-        tokens, cache, pos, finished, sum_lp = state
+        tokens, cache, pos, finished, sum_lp, seen = state
         last_tok = jax.lax.dynamic_slice(tokens, (0, pos - 1), (b, 1))[:, 0]
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
+        logits = _apply_repetition_penalty(logits, seen, rep_penalty)
         logits = logits + suppress + jnp.where(
             (pos == prompt_len)[:, None], begin[None, :], 0.0
         )
@@ -689,8 +717,15 @@ def greedy_decode(
         tokens = jax.lax.dynamic_update_slice(
             tokens, next_tok[:, None], (0, pos)
         )
+        seen = jnp.logical_or(
+            seen,
+            jnp.logical_and(
+                jax.nn.one_hot(next_tok, config.n_vocab, dtype=bool),
+                (next_tok < layout.eot)[:, None],
+            ),
+        )
         finished = jnp.logical_or(finished, next_tok == layout.eot)
-        return tokens, cache, pos + 1, finished, sum_lp
+        return tokens, cache, pos + 1, finished, sum_lp, seen
 
     init = (
         tokens,
@@ -698,8 +733,11 @@ def greedy_decode(
         jnp.asarray(p_len, jnp.int32),
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.float32),
+        seen0,
     )
-    tokens, cache, pos, finished, sum_lp = jax.lax.while_loop(cond, body, init)
+    tokens, cache, pos, finished, sum_lp, _ = jax.lax.while_loop(
+        cond, body, init
+    )
 
     # length = index of first eot at/after prompt (or pos if none)
     gen_region = tokens[:, :]
@@ -736,6 +774,7 @@ def sample_decode(
     temperature: jnp.ndarray = 1.0,
     rng: Optional[jnp.ndarray] = None,
     suppress_blank: bool = True,
+    rep_penalty: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Categorical sampling at a (traced) temperature — the retry rungs of
     whisper's temperature-fallback ladder (reference faster_whisper passes
@@ -774,17 +813,22 @@ def sample_decode(
     )
 
     def cond(state):
-        _, _, pos, finished, _, _ = state
+        _, _, pos, finished, _, _, _ = state
         return jnp.logical_and(
             pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
         )
 
+    if rep_penalty is None:
+        rep_penalty = jnp.ones((b,), jnp.float32)
+    seen0 = _seen_text_mask(tokens, prompt_len, layout, config.n_vocab)
+
     def body(state):
-        tokens, cache, pos, finished, sum_lp, key = state
+        tokens, cache, pos, finished, sum_lp, key, seen = state
         last_tok = jax.lax.dynamic_slice(tokens, (0, pos - 1), (b, 1))[:, 0]
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
+        logits = _apply_repetition_penalty(logits, seen, rep_penalty)
         logits = logits + suppress + jnp.where(
             (pos == prompt_len)[:, None], begin[None, :], 0.0
         )
@@ -797,8 +841,15 @@ def sample_decode(
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
         sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, pos))
+        seen = jnp.logical_or(
+            seen,
+            jnp.logical_and(
+                jax.nn.one_hot(next_tok, config.n_vocab, dtype=bool),
+                (next_tok < layout.eot)[:, None],
+            ),
+        )
         finished = jnp.logical_or(finished, next_tok == layout.eot)
-        return tokens, cache, pos + 1, finished, sum_lp, key
+        return tokens, cache, pos + 1, finished, sum_lp, key, seen
 
     init = (
         tokens, cache,
@@ -806,8 +857,9 @@ def sample_decode(
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.float32),
         rng,
+        seen0,
     )
-    tokens, cache, pos, finished, sum_lp, _ = jax.lax.while_loop(
+    tokens, cache, pos, finished, sum_lp, _, _ = jax.lax.while_loop(
         cond, body, init
     )
     is_eot = jnp.logical_and(
@@ -1046,9 +1098,9 @@ def split_timestamp_segments(
 
 def _beam_decode_pooled(
     params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
-    layout, suppress, begin, b: int, k: int, p_len: int, t_max: int,
-    v: int, n_head: int, max_new_tokens: int, max_candidates: int,
-    length_penalty: float = 1.0,
+    layout, suppress, begin, seen0, rep_penalty, b: int, k: int,
+    p_len: int, t_max: int, v: int, n_head: int, max_new_tokens: int,
+    max_candidates: int, length_penalty: float = 1.0,
 ) -> DecodeResult:
     """Patience > 1 beam search: finished hypotheses are banked into a
     fixed-size per-row candidate pool (best ``max_candidates`` by sum
@@ -1071,18 +1123,22 @@ def _beam_decode_pooled(
         return n_fin >= c
 
     def cond(state):
-        _, _, _, pos, pool_lp, _, _ = state
+        _, _, _, pos, pool_lp, _, _, _ = state
         return jnp.logical_and(pos < limit, ~jnp.all(pool_full(pool_lp)))
 
     def body(state):
-        tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len = state
+        (tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len,
+         seen) = state
         last_tok = jax.lax.dynamic_slice(
             tokens, (0, 0, pos - 1), (b, k, 1)
         ).reshape(bk)
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = (logits + suppress).reshape(b, k, v) + jnp.where(
+        logits = _apply_repetition_penalty(
+            logits.reshape(b, k, v), seen, rep_penalty
+        )
+        logits = (logits + suppress) + jnp.where(
             pos == p_len, begin[None, None, :], 0.0
         )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -1124,6 +1180,14 @@ def _beam_decode_pooled(
         tokens = jax.lax.dynamic_update_slice(
             tokens, live_tok[:, :, None], (0, 0, pos)
         )
+        seen = jnp.take_along_axis(seen, live_parent[:, :, None], axis=1)
+        seen = jnp.logical_or(
+            seen,
+            jnp.logical_and(
+                jax.nn.one_hot(live_tok, v, dtype=bool),
+                (live_tok < layout.eot)[:, :, None],
+            ),
+        )
 
         def reorder_cache(x):  # (L, B*K, T, d)
             l, _, t, d = x.shape
@@ -1134,13 +1198,14 @@ def _beam_decode_pooled(
             return x.reshape(l, bk, t, d)
 
         cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
-        return tokens, cache, sum_lp, pos + 1, pool_lp, pool_tokens, pool_len
+        return (tokens, cache, sum_lp, pos + 1, pool_lp, pool_tokens,
+                pool_len, seen)
 
     init = (
         tokens, cache, sum_lp, jnp.asarray(p_len, jnp.int32),
-        pool_lp, pool_tokens, pool_len,
+        pool_lp, pool_tokens, pool_len, seen0,
     )
-    tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len = (
+    (tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len, _) = (
         jax.lax.while_loop(cond, body, init)
     )
 
@@ -1191,6 +1256,7 @@ def beam_decode(
     patience: float = 1.0,
     length_penalty: float = 1.0,
     suppress_blank: bool = True,
+    rep_penalty: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Fixed-width batched beam search in a ``lax.while_loop``.
 
@@ -1257,12 +1323,22 @@ def beam_decode(
     # slot of a finished beam instead of freezing it. patience == 1.0
     # (max_candidates == k) keeps the frozen-slot algorithm below, whose
     # stopping condition ("all k beams finished") is equivalent.
+    if rep_penalty is None:
+        rep_penalty = jnp.ones((b,), jnp.float32)
+    seen0 = jnp.repeat(
+        _seen_text_mask(
+            tokens.reshape(b * k, t_max)[::k], prompt_len, layout, v
+        )[:, None, :],
+        k, axis=1,
+    )  # (B, K, V): all beams share the prompt's seen-set
+
     max_candidates = max(k, int(round(k * float(patience))))
     if max_candidates > k:
         return _beam_decode_pooled(
             params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
-            layout, suppress, begin, b, k, p_len, t_max, v, n_head,
-            max_new_tokens, max_candidates, length_penalty,
+            layout, suppress, begin, seen0, rep_penalty, b, k, p_len,
+            t_max, v, n_head, max_new_tokens, max_candidates,
+            length_penalty,
         )
     finished = jnp.zeros((b, k), bool)
 
@@ -1276,14 +1352,17 @@ def beam_decode(
         )
 
     def body(state):
-        tokens, cache, sum_lp, pos, finished, _ = state
+        tokens, cache, sum_lp, pos, finished, seen = state
         last_tok = jax.lax.dynamic_slice(
             tokens, (0, 0, pos - 1), (b, k, 1)
         ).reshape(bk)
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = (logits + suppress).reshape(b, k, v) + jnp.where(
+        logits = _apply_repetition_penalty(
+            logits.reshape(b, k, v), seen, rep_penalty
+        )
+        logits = (logits + suppress) + jnp.where(
             (pos == prompt_len)[:, None, None], begin[None, None, :], 0.0
         )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -1300,6 +1379,14 @@ def beam_decode(
             tokens, new_tok[:, :, None], (0, 0, pos)
         )
         finished = jnp.take_along_axis(finished, parent, axis=1)
+        seen = jnp.take_along_axis(seen, parent[:, :, None], axis=1)
+        seen = jnp.logical_or(
+            seen,
+            jnp.logical_and(
+                jax.nn.one_hot(new_tok, v, dtype=bool),
+                (new_tok < layout.eot)[:, :, None],
+            ),
+        )
         new_tok_is_eot = new_tok == layout.eot
         finished = jnp.logical_or(finished, new_tok_is_eot)
 
@@ -1312,13 +1399,13 @@ def beam_decode(
             return x.reshape(l, bk, t, d)
 
         cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
-        return tokens, cache, top_vals, pos + 1, finished, parent
+        return tokens, cache, top_vals, pos + 1, finished, seen
 
     init = (
         tokens, cache, sum_lp,
         jnp.asarray(p_len, jnp.int32),
         finished,
-        jnp.zeros((b, k), jnp.int32),
+        seen0,
     )
     tokens, cache, sum_lp, pos, finished, _ = jax.lax.while_loop(
         cond, body, init

@@ -455,3 +455,47 @@ def test_suppress_blank_blocks_first_step_eot():
     toks = np.asarray(blocked.tokens)[0]
     assert toks[4] != layout.eot          # first step forced off eot
     assert int(blocked.lengths[0]) == 5   # eot allowed from step two
+
+
+def test_repetition_penalty_discourages_repeats():
+    """Weights rigged so one text token is always argmax: with
+    repetition_penalty the second step must pick a different token;
+    without it the token repeats."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        encode, get_config, greedy_decode, init_kv_cache, init_params,
+    )
+
+    config = get_config("test")
+    params = init_params(config, seed=10)
+    fav = 42  # arbitrary text token
+    tok = np.array(params["decoder"]["tok"])
+    tok[fav] *= 10.0
+    params = dict(params)
+    params["decoder"] = dict(params["decoder"])
+    params["decoder"]["tok"] = jnp.asarray(tok)
+    params["decoder"]["ln"] = {
+        "g": jnp.zeros_like(params["decoder"]["ln"]["g"]),
+        "b": jnp.asarray(tok[fav]),
+    }
+
+    rng = np.random.default_rng(10)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(np.array([[50258, 50259, 50359, 50363]], np.int32))
+    plen = jnp.full((1,), 4, jnp.int32)
+
+    plain = greedy_decode(params, enc, prompt, plen,
+                          init_kv_cache(config, 1, 12), config,
+                          config.n_text_head, 6)
+    t_plain = np.asarray(plain.tokens)[0, 4:7]
+    assert (t_plain == fav).all()  # repeats unchecked
+
+    pen = greedy_decode(params, enc, prompt, plen,
+                        init_kv_cache(config, 1, 12), config,
+                        config.n_text_head, 6,
+                        rep_penalty=jnp.asarray([50.0], jnp.float32))
+    t_pen = np.asarray(pen.tokens)[0, 4:7]
+    assert t_pen[0] == fav          # first occurrence unpenalized
+    assert t_pen[1] != fav          # second occurrence suppressed
