@@ -767,9 +767,12 @@ class WhisperEngine:
         rep_arr = np.ones((batch_n,), np.float32)
         for i, task in enumerate(group):
             rep_arr[i] = _rep_penalty_of(task.request)
+        # None traces the fast no-penalty program (the common case);
+        # an array traces the penalized variant once per shape
+        rep_dev = None if (rep_arr == 1.0).all() else jnp.asarray(rep_arr)
         packed = _serve_step(
             self.params, rows_dev, prompt_dev, prompt_len_dev,
-            jnp.asarray(auto_mask), jnp.asarray(rep_arr), cache,
+            jnp.asarray(auto_mask), rep_dev, cache,
             self.config,
             n_head_audio=self.config.n_audio_head,
             n_head_text=self.config.n_text_head,
@@ -811,10 +814,14 @@ class WhisperEngine:
         batch_n, n = ctx["batch_n"], ctx["n"]
         t_start = ctx["t_start"]
 
-        def row_output(arr: np.ndarray, i: int, task: _Task) -> DecodeOutput:
+        def row_output(
+            arr: np.ndarray, i: int, task: _Task, p_len_row: int = None
+        ) -> DecodeOutput:
+            if p_len_row is None:
+                p_len_row = p_len
             t_max = arr.shape[1] - 5
-            n_gen = max(0, int(arr[i, t_max]) - p_len)
-            gen_tokens = arr[i, p_len : p_len + n_gen]
+            n_gen = max(0, int(arr[i, t_max]) - p_len_row)
+            gen_tokens = arr[i, p_len_row : p_len_row + n_gen]
             avg_lp = float(
                 arr[i, t_max + 1 : t_max + 2].view(np.float32)[0]
                 / max(1, n_gen)
@@ -912,6 +919,42 @@ class WhisperEngine:
                     )
                 prompt_dev = jnp.asarray(prompt_arr)
                 prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
+                # prompt_reset_on_temperature (faster_whisper): above this
+                # temperature, retries drop the conditioning prefix
+                # ([sot_prev] + initial_prompt tokens) so a hallucinating
+                # context cannot keep steering the resample
+                try:
+                    raw_reset = group[0].request.options.get(
+                        "prompt_reset_on_temperature", 0.5
+                    )
+                    reset_t = (
+                        float(raw_reset) if raw_reset is not None else None
+                    )
+                except (TypeError, ValueError):
+                    reset_t = 0.5
+                rep_arr_f = np.ones((batch_n,), np.float32)
+                for i, t in enumerate(group):
+                    rep_arr_f[i] = _rep_penalty_of(t.request)
+                bare_dev = bare_len_dev = None
+                bare_len = p_len
+                bare_prompts = [
+                    W.build_prompt(
+                        self.config, langs[i], task=t.request.task,
+                        without_timestamps=bool(
+                            t.request.options.get("without_timestamps", True)
+                        ),
+                    )
+                    for i, t in enumerate(group)
+                ]
+                if bare_prompts and len(bare_prompts[0]) < p_len:
+                    bare_len = len(bare_prompts[0])
+                    bare_arr = np.full(
+                        (batch_n, bare_len), self.layout.eot, np.int32
+                    )
+                    for i, bp in enumerate(bare_prompts):
+                        bare_arr[i] = bp
+                    bare_dev = jnp.asarray(bare_arr)
+                    bare_len_dev = jnp.full((batch_n,), bare_len, jnp.int32)
                 try:
                     best_of = max(1, min(int(
                         group[0].request.options.get("best_of", 1) or 1
@@ -921,23 +964,32 @@ class WhisperEngine:
                 for rung_idx, temp in enumerate(rungs):
                     # best_of independent samples per rung; keep the highest
                     # avg-logprob candidate per row (faster_whisper best_of)
+                    use_bare = (
+                        bare_dev is not None
+                        and reset_t is not None
+                        and temp > reset_t
+                    )
+                    pr_dev = bare_dev if use_bare else prompt_dev
+                    pr_len_dev = (
+                        bare_len_dev if use_bare else prompt_len_dev
+                    )
+                    pl = bare_len if use_bare else p_len
                     candidates: List[List[DecodeOutput]] = []
                     for sample_idx in range(best_of if temp > 0 else 1):
                         retry_cache = W.init_kv_cache(
-                            self.config, batch_n, p_len + max_new,
+                            self.config, batch_n, pl + max_new,
                             dtype=self._dtype,
                         )
                         packed_r = _sample_packed(
-                            self.params, enc, prompt_dev, prompt_len_dev,
+                            self.params, enc, pr_dev, pr_len_dev,
                             retry_cache, self.config, self.config.n_text_head,
                             max_new_tokens=max_new,
                             suppress_blank=_suppress_blank_of(
                                 group[0].request
                             ),
-                            rep_penalty=jnp.asarray(
-                                [_rep_penalty_of(t.request) for t in group]
-                                + [1.0] * (batch_n - len(group)),
-                                jnp.float32,
+                            rep_penalty=(
+                                None if (rep_arr_f == 1.0).all()
+                                else jnp.asarray(rep_arr_f)
                             ),
                             temperature=jnp.float32(temp),
                             rng=jax.random.PRNGKey(
@@ -946,7 +998,8 @@ class WhisperEngine:
                         )
                         arr_r = np.asarray(packed_r)
                         candidates.append([
-                            row_output(arr_r, i, group[i]) for i in failing
+                            row_output(arr_r, i, group[i], p_len_row=pl)
+                            for i in failing
                         ])
                     still = []
                     for slot, i in enumerate(failing):

@@ -689,9 +689,14 @@ def greedy_decode(
     cache, no_speech_prob = jax.lax.fori_loop(
         0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
     )
-    if rep_penalty is None:
-        rep_penalty = jnp.ones((b,), jnp.float32)
-    seen0 = _seen_text_mask(tokens, prompt_len, layout, config.n_vocab)
+    # repetition penalty is structurally optional: rep_penalty=None traces
+    # a program with NO seen-state at all (the hot serving path); passing
+    # an array traces the penalized variant once per shape
+    track_rep = rep_penalty is not None
+    seen0 = (
+        _seen_text_mask(tokens, prompt_len, layout, config.n_vocab)
+        if track_rep else jnp.zeros((b, 1), bool)
+    )
 
     def cond(state):
         _, _, pos, finished, _, _ = state
@@ -705,7 +710,8 @@ def greedy_decode(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = _apply_repetition_penalty(logits, seen, rep_penalty)
+        if track_rep:
+            logits = _apply_repetition_penalty(logits, seen, rep_penalty)
         logits = logits + suppress + jnp.where(
             (pos == prompt_len)[:, None], begin[None, :], 0.0
         )
@@ -717,13 +723,10 @@ def greedy_decode(
         tokens = jax.lax.dynamic_update_slice(
             tokens, next_tok[:, None], (0, pos)
         )
-        seen = jnp.logical_or(
-            seen,
-            jnp.logical_and(
-                jax.nn.one_hot(next_tok, config.n_vocab, dtype=bool),
-                (next_tok < layout.eot)[:, None],
-            ),
-        )
+        if track_rep:
+            seen = seen.at[jnp.arange(b), next_tok].max(
+                next_tok < layout.eot
+            )
         finished = jnp.logical_or(finished, next_tok == layout.eot)
         return tokens, cache, pos + 1, finished, sum_lp, seen
 
@@ -818,9 +821,11 @@ def sample_decode(
             pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
         )
 
-    if rep_penalty is None:
-        rep_penalty = jnp.ones((b,), jnp.float32)
-    seen0 = _seen_text_mask(tokens, prompt_len, layout, config.n_vocab)
+    track_rep = rep_penalty is not None
+    seen0 = (
+        _seen_text_mask(tokens, prompt_len, layout, config.n_vocab)
+        if track_rep else jnp.zeros((b, 1), bool)
+    )
 
     def body(state):
         tokens, cache, pos, finished, sum_lp, key, seen = state
@@ -828,7 +833,8 @@ def sample_decode(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = _apply_repetition_penalty(logits, seen, rep_penalty)
+        if track_rep:
+            logits = _apply_repetition_penalty(logits, seen, rep_penalty)
         logits = logits + suppress + jnp.where(
             (pos == prompt_len)[:, None], begin[None, :], 0.0
         )
@@ -841,13 +847,10 @@ def sample_decode(
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
         sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, pos))
-        seen = jnp.logical_or(
-            seen,
-            jnp.logical_and(
-                jax.nn.one_hot(next_tok, config.n_vocab, dtype=bool),
-                (next_tok < layout.eot)[:, None],
-            ),
-        )
+        if track_rep:
+            seen = seen.at[jnp.arange(b), next_tok].max(
+                next_tok < layout.eot
+            )
         finished = jnp.logical_or(finished, next_tok == layout.eot)
         return tokens, cache, pos + 1, finished, sum_lp, key, seen
 
@@ -1135,9 +1138,9 @@ def _beam_decode_pooled(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = _apply_repetition_penalty(
-            logits.reshape(b, k, v), seen, rep_penalty
-        )
+        logits = logits.reshape(b, k, v)
+        if rep_penalty is not None:
+            logits = _apply_repetition_penalty(logits, seen, rep_penalty)
         logits = (logits + suppress) + jnp.where(
             pos == p_len, begin[None, None, :], 0.0
         )
@@ -1180,14 +1183,13 @@ def _beam_decode_pooled(
         tokens = jax.lax.dynamic_update_slice(
             tokens, live_tok[:, :, None], (0, 0, pos)
         )
-        seen = jnp.take_along_axis(seen, live_parent[:, :, None], axis=1)
-        seen = jnp.logical_or(
-            seen,
-            jnp.logical_and(
-                jax.nn.one_hot(live_tok, v, dtype=bool),
-                (live_tok < layout.eot)[:, :, None],
-            ),
-        )
+        if rep_penalty is not None:
+            seen = jnp.take_along_axis(
+                seen, live_parent[:, :, None], axis=1
+            )
+            seen = seen.at[
+                jnp.arange(b)[:, None], jnp.arange(k)[None, :], live_tok
+            ].max(live_tok < layout.eot)
 
         def reorder_cache(x):  # (L, B*K, T, d)
             l, _, t, d = x.shape
@@ -1323,14 +1325,16 @@ def beam_decode(
     # slot of a finished beam instead of freezing it. patience == 1.0
     # (max_candidates == k) keeps the frozen-slot algorithm below, whose
     # stopping condition ("all k beams finished") is equivalent.
-    if rep_penalty is None:
-        rep_penalty = jnp.ones((b,), jnp.float32)
-    seen0 = jnp.repeat(
-        _seen_text_mask(
-            tokens.reshape(b * k, t_max)[::k], prompt_len, layout, v
-        )[:, None, :],
-        k, axis=1,
-    )  # (B, K, V): all beams share the prompt's seen-set
+    track_rep = rep_penalty is not None
+    seen0 = (
+        jnp.repeat(
+            _seen_text_mask(
+                tokens.reshape(b * k, t_max)[::k], prompt_len, layout, v
+            )[:, None, :],
+            k, axis=1,
+        )  # (B, K, V): all beams share the prompt's seen-set
+        if track_rep else jnp.zeros((b, k, 1), bool)
+    )
 
     max_candidates = max(k, int(round(k * float(patience))))
     if max_candidates > k:
@@ -1359,9 +1363,9 @@ def beam_decode(
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
         )
-        logits = _apply_repetition_penalty(
-            logits.reshape(b, k, v), seen, rep_penalty
-        )
+        logits = logits.reshape(b, k, v)
+        if track_rep:
+            logits = _apply_repetition_penalty(logits, seen, rep_penalty)
         logits = (logits + suppress) + jnp.where(
             (pos == prompt_len)[:, None, None], begin[None, None, :], 0.0
         )
@@ -1379,14 +1383,11 @@ def beam_decode(
             tokens, new_tok[:, :, None], (0, 0, pos)
         )
         finished = jnp.take_along_axis(finished, parent, axis=1)
-        seen = jnp.take_along_axis(seen, parent[:, :, None], axis=1)
-        seen = jnp.logical_or(
-            seen,
-            jnp.logical_and(
-                jax.nn.one_hot(new_tok, v, dtype=bool),
-                (new_tok < layout.eot)[:, :, None],
-            ),
-        )
+        if track_rep:
+            seen = jnp.take_along_axis(seen, parent[:, :, None], axis=1)
+            seen = seen.at[
+                jnp.arange(b)[:, None], jnp.arange(k)[None, :], new_tok
+            ].max(new_tok < layout.eot)
         new_tok_is_eot = new_tok == layout.eot
         finished = jnp.logical_or(finished, new_tok_is_eot)
 

@@ -442,3 +442,22 @@ def test_runtime_derives_prewarm_beams_from_profiles():
         {1} | {int(p.get("beam_size", 1) or 1) for p in profiles.values()}
     )
     assert beams == [1, 5]
+
+
+def test_prompt_reset_on_temperature_drops_prefix(engine):
+    """A fallback rung hotter than prompt_reset_on_temperature retries
+    WITHOUT the conditioning prefix (faster_whisper semantics); the decode
+    still completes and yields a result."""
+    out = engine.transcribe_sync(_req(
+        seed=15,
+        options={
+            "initial_prompt": "steering context words",
+            "temperature": [0.0, 0.8],
+            "prompt_reset_on_temperature": 0.5,
+            # force every rung to run
+            "compression_ratio_threshold": -1.0,
+            "log_prob_threshold": None,
+        },
+    ))
+    assert out.info.language == "en"
+    assert out.batch_rows == 1
