@@ -91,6 +91,16 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _ngram_of(request: DecodeRequest) -> int:
+    """CT2 `no_repeat_ngram_size` (0 = off): ban tokens that would
+    complete an n-gram already present in the sequence."""
+    try:
+        n = int(request.options.get("no_repeat_ngram_size") or 0)
+    except (TypeError, ValueError):
+        n = 0
+    return max(0, min(n, 4))
+
+
 def _rep_penalty_of(request: DecodeRequest) -> float:
     """CT2 `repetition_penalty` (reference faster_whisper option):
     logits of already-emitted text tokens are penalized. Traced per-row
@@ -224,7 +234,7 @@ def _decode_best(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
     patience: float = 1.0, length_penalty: float = 1.0,
-    suppress_blank: bool = True, rep_penalty=None,
+    suppress_blank: bool = True, rep_penalty=None, ngram_n: int = 0,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
     (the `accurate` profile). ``cache`` must hold B*beam_size rows.
@@ -239,31 +249,32 @@ def _decode_best(
         return W.greedy_decode(
             params, enc, prompt, prompt_len, cache, config, n_head,
             max_new_tokens, suppress_blank=suppress_blank,
-            rep_penalty=rep_penalty,
+            rep_penalty=rep_penalty, ngram_n=ngram_n,
         )
     return W.beam_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, beam_size=beam_size, patience=patience,
         length_penalty=length_penalty, suppress_blank=suppress_blank,
-        rep_penalty=rep_penalty,
+        rep_penalty=rep_penalty, ngram_n=ngram_n,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config",
-                     "suppress_blank"),
+                     "suppress_blank", "ngram_n"),
     donate_argnames=("cache",),
 )
 def _sample_packed(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, temperature, rng, suppress_blank: bool = True,
-    rep_penalty=None,
+    rep_penalty=None, ngram_n: int = 0,
 ) -> jnp.ndarray:
     res = W.sample_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, temperature=temperature, rng=rng,
         suppress_blank=suppress_blank, rep_penalty=rep_penalty,
+        ngram_n=ngram_n,
     )
     return _pack_result(res)
 
@@ -273,7 +284,7 @@ def _sample_packed(
     static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
                      "max_new_tokens", "config", "use_pallas", "beam_size",
                      "with_timestamps", "detect", "lang_pos", "patience",
-                     "length_penalty", "suppress_blank"),
+                     "length_penalty", "suppress_blank", "ngram_n"),
     donate_argnames=("cache",),
 )
 def _serve_step(
@@ -283,7 +294,7 @@ def _serve_step(
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
     patience: float = 1.0, length_penalty: float = 1.0,
-    suppress_blank: bool = True,
+    suppress_blank: bool = True, ngram_n: int = 0,
 ) -> jnp.ndarray:
     """Whole serving step in ONE dispatch: log-mel -> encoder ->
     (optional language detection, folded on-device) -> decode -> packed
@@ -309,7 +320,7 @@ def _serve_step(
     res = _decode_best(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
-        length_penalty, suppress_blank, rep_penalty,
+        length_penalty, suppress_blank, rep_penalty, ngram_n,
     )
     return _pack_result(res, lang_idx, lang_p)
 
@@ -592,11 +603,13 @@ class WhisperEngine:
                 _length_penalty_of(task.request) if beam > 1 else 1.0
             )
             sb = _suppress_blank_of(task.request)
+            ng = _ngram_of(task.request)
             with_ts = not bool(
                 task.request.options.get("without_timestamps", True)
             )
             groups.setdefault(
-                (bucket, p_len, beam, with_ts, patience, len_pen, sb), []
+                (bucket, p_len, beam, with_ts, patience, len_pen, sb, ng),
+                [],
             ).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
@@ -753,6 +766,7 @@ class WhisperEngine:
             (_length_penalty_of(t.request) for t in group), default=1.0
         ) if beam > 1 else 1.0
         sb = all(_suppress_blank_of(t.request) for t in group)
+        ng = max((_ngram_of(t.request) for t in group), default=0)
         with_ts = any(
             not bool(t.request.options.get("without_timestamps", True))
             for t in group
@@ -787,6 +801,7 @@ class WhisperEngine:
             patience=patience,
             length_penalty=len_pen,
             suppress_blank=sb,
+            ngram_n=ng,
         )
         return {
             "group": group, "packed": packed,
@@ -990,6 +1005,10 @@ class WhisperEngine:
                             rep_penalty=(
                                 None if (rep_arr_f == 1.0).all()
                                 else jnp.asarray(rep_arr_f)
+                            ),
+                            ngram_n=max(
+                                (_ngram_of(t.request) for t in group),
+                                default=0,
                             ),
                             temperature=jnp.float32(temp),
                             rng=jax.random.PRNGKey(

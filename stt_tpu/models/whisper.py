@@ -613,6 +613,27 @@ def _sample_begin_mask(config: WhisperConfig) -> np.ndarray:
 
 
 
+def _ngram_banned_tokens(tokens2d, pos, n: int, v: int):
+    """(R, V) bool: tokens that would complete an n-gram already present
+    in each row's history (CT2 ``no_repeat_ngram_size``). tokens2d is
+    (R, T) with the current sequence in [0, pos); the candidate position
+    is ``pos``. Static small n (2-4); one scatter per step."""
+    r, t = tokens2d.shape
+    # the (n-1)-token tail ending at pos-1
+    tail = jax.lax.dynamic_slice(tokens2d, (0, pos - (n - 1)), (r, n - 1))
+    match = jnp.ones((r, t), bool)
+    for j in range(n - 1):
+        eq_j = tokens2d == tail[:, j][:, None]
+        match = jnp.logical_and(match, jnp.roll(eq_j, -j, axis=1))
+    idx = jnp.arange(t)[None, :]
+    # window start i is valid when its banned position i+n-1 < pos
+    valid = jnp.logical_and(match, idx + n - 1 < pos)
+    next_tok_at = jnp.roll(tokens2d, -(n - 1), axis=1)  # tokens2d[:, i+n-1]
+    banned = jnp.zeros((r, v), bool)
+    return banned.at[jnp.arange(r)[:, None], next_tok_at].max(valid)
+
+
+
 def _seen_text_mask(tokens, prompt_len, layout, v: int):
     """(B, V) bool: text tokens present in each row's logical prompt
     (positions < prompt_len; specials excluded). Seed for the
@@ -638,7 +659,7 @@ def _apply_repetition_penalty(logits, seen, rep_penalty):
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config",
-                     "suppress_blank"),
+                     "suppress_blank", "ngram_n"),
     donate_argnames=("cache",),
 )
 def greedy_decode(
@@ -652,6 +673,7 @@ def greedy_decode(
     max_new_tokens: int,
     suppress_blank: bool = True,
     rep_penalty: Optional[jnp.ndarray] = None,
+    ngram_n: int = 0,
 ) -> DecodeResult:
     """Batched greedy decode with per-row early stop.
 
@@ -712,6 +734,11 @@ def greedy_decode(
         )
         if track_rep:
             logits = _apply_repetition_penalty(logits, seen, rep_penalty)
+        if ngram_n:
+            banned = _ngram_banned_tokens(
+                tokens, pos, ngram_n, config.n_vocab
+            )
+            logits = jnp.where(banned, -jnp.inf, logits)
         logits = logits + suppress + jnp.where(
             (pos == prompt_len)[:, None], begin[None, :], 0.0
         )
@@ -762,7 +789,7 @@ def greedy_decode(
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config",
-                     "suppress_blank"),
+                     "suppress_blank", "ngram_n"),
     donate_argnames=("cache",),
 )
 def sample_decode(
@@ -778,6 +805,7 @@ def sample_decode(
     rng: Optional[jnp.ndarray] = None,
     suppress_blank: bool = True,
     rep_penalty: Optional[jnp.ndarray] = None,
+    ngram_n: int = 0,
 ) -> DecodeResult:
     """Categorical sampling at a (traced) temperature — the retry rungs of
     whisper's temperature-fallback ladder (reference faster_whisper passes
@@ -835,6 +863,11 @@ def sample_decode(
         )
         if track_rep:
             logits = _apply_repetition_penalty(logits, seen, rep_penalty)
+        if ngram_n:
+            banned = _ngram_banned_tokens(
+                tokens, pos, ngram_n, config.n_vocab
+            )
+            logits = jnp.where(banned, -jnp.inf, logits)
         logits = logits + suppress + jnp.where(
             (pos == prompt_len)[:, None], begin[None, :], 0.0
         )
@@ -1103,7 +1136,7 @@ def _beam_decode_pooled(
     params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
     layout, suppress, begin, seen0, rep_penalty, b: int, k: int,
     p_len: int, t_max: int, v: int, n_head: int, max_new_tokens: int,
-    max_candidates: int, length_penalty: float = 1.0,
+    max_candidates: int, length_penalty: float = 1.0, ngram_n: int = 0,
 ) -> DecodeResult:
     """Patience > 1 beam search: finished hypotheses are banked into a
     fixed-size per-row candidate pool (best ``max_candidates`` by sum
@@ -1141,6 +1174,11 @@ def _beam_decode_pooled(
         logits = logits.reshape(b, k, v)
         if rep_penalty is not None:
             logits = _apply_repetition_penalty(logits, seen, rep_penalty)
+        if ngram_n:
+            banned = _ngram_banned_tokens(
+                tokens.reshape(bk, t_max), pos, ngram_n, v
+            ).reshape(b, k, v)
+            logits = jnp.where(banned, -jnp.inf, logits)
         logits = (logits + suppress) + jnp.where(
             pos == p_len, begin[None, None, :], 0.0
         )
@@ -1242,7 +1280,8 @@ def _beam_decode_pooled(
 @partial(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
-                     "patience", "length_penalty", "suppress_blank"),
+                     "patience", "length_penalty", "suppress_blank",
+                     "ngram_n"),
     donate_argnames=("cache",),
 )
 def beam_decode(
@@ -1259,6 +1298,7 @@ def beam_decode(
     length_penalty: float = 1.0,
     suppress_blank: bool = True,
     rep_penalty: Optional[jnp.ndarray] = None,
+    ngram_n: int = 0,
 ) -> DecodeResult:
     """Fixed-width batched beam search in a ``lax.while_loop``.
 
@@ -1342,7 +1382,7 @@ def beam_decode(
             params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
             layout, suppress, begin, seen0, rep_penalty, b, k, p_len,
             t_max, v, n_head, max_new_tokens, max_candidates,
-            length_penalty,
+            length_penalty, ngram_n,
         )
     finished = jnp.zeros((b, k), bool)
 
@@ -1366,6 +1406,11 @@ def beam_decode(
         logits = logits.reshape(b, k, v)
         if track_rep:
             logits = _apply_repetition_penalty(logits, seen, rep_penalty)
+        if ngram_n:
+            banned = _ngram_banned_tokens(
+                tokens.reshape(bk, t_max), pos, ngram_n, v
+            ).reshape(b, k, v)
+            logits = jnp.where(banned, -jnp.inf, logits)
         logits = (logits + suppress) + jnp.where(
             (pos == prompt_len)[:, None, None], begin[None, None, :], 0.0
         )

@@ -499,3 +499,47 @@ def test_repetition_penalty_discourages_repeats():
     t_pen = np.asarray(pen.tokens)[0, 4:7]
     assert t_pen[0] == fav          # first occurrence unpenalized
     assert t_pen[1] != fav          # second occurrence suppressed
+
+
+def test_no_repeat_ngram_blocks_bigram_loop():
+    """Weights rigged to loop one token forever: no_repeat_ngram_size=2
+    must ban repeating the (tok, tok) bigram, breaking the loop."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stt_tpu.models.whisper import (
+        encode, get_config, greedy_decode, init_kv_cache, init_params,
+    )
+
+    config = get_config("test")
+    params = init_params(config, seed=12)
+    fav = 77
+    tok = np.array(params["decoder"]["tok"])
+    tok[fav] *= 10.0
+    params = dict(params)
+    params["decoder"] = dict(params["decoder"])
+    params["decoder"]["tok"] = jnp.asarray(tok)
+    params["decoder"]["ln"] = {
+        "g": jnp.zeros_like(params["decoder"]["ln"]["g"]),
+        "b": jnp.asarray(tok[fav]),
+    }
+
+    rng = np.random.default_rng(12)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(np.array([[50258, 50259, 50359, 50363]], np.int32))
+    plen = jnp.full((1,), 4, jnp.int32)
+
+    plain = greedy_decode(params, enc, prompt, plen,
+                          init_kv_cache(config, 1, 16), config,
+                          config.n_text_head, 8)
+    t_plain = np.asarray(plain.tokens)[0, 4:10]
+    assert (t_plain == fav).all()  # the unconstrained loop
+
+    banned = greedy_decode(params, enc, prompt, plen,
+                           init_kv_cache(config, 1, 16), config,
+                           config.n_text_head, 8, ngram_n=2)
+    t_ban = np.asarray(banned.tokens)[0, 4:10]
+    # fav fav establishes the bigram (fav, fav); after that, a third
+    # consecutive fav would repeat it and must be banned
+    assert t_ban[0] == fav and t_ban[1] == fav
+    assert t_ban[2] != fav
