@@ -596,7 +596,9 @@ class WhisperEngine:
         groups: Dict[Tuple[float, int], List[_Task]] = {}
         for task in live:
             bucket = self._bucket_for(len(task.request.audio))
-            p_len = len(self._prompt_for(task.request))
+            ctx, sot_seq, prefix_ids = self._prompt_parts(task.request)
+            p_len = len(ctx) + len(sot_seq) + len(prefix_ids)
+            ctx_len = len(ctx)  # fixes the language-slot position
             beam = _beam_size_of(task.request)
             patience = _patience_of(task.request) if beam > 1 else 1.0
             len_pen = (
@@ -608,7 +610,8 @@ class WhisperEngine:
                 task.request.options.get("without_timestamps", True)
             )
             groups.setdefault(
-                (bucket, p_len, beam, with_ts, patience, len_pen, sb, ng),
+                (bucket, p_len, ctx_len, beam, with_ts, patience, len_pen,
+                 sb, ng),
                 [],
             ).append(task)
         max_rows = self.batch_buckets[-1]
@@ -654,6 +657,15 @@ class WhisperEngine:
     # -- the batched decode pipeline ------------------------------------------
 
     def _prompt_for(self, request: DecodeRequest) -> List[int]:
+        ctx, sot_seq, prefix_ids = self._prompt_parts(request)
+        return ctx + sot_seq + prefix_ids
+
+    def _prompt_parts(
+        self, request: DecodeRequest
+    ) -> Tuple[List[int], List[int], List[int]]:
+        """(conditioning ctx, sot sequence, forced prefix) — the decoded
+        prompt is their concatenation. The language slot sits at
+        ``len(ctx) + 1``, so batch grouping keys on the ctx length."""
         lang = request.language or None
         sot_seq = W.build_prompt(
             self.config,
@@ -663,7 +675,21 @@ class WhisperEngine:
                 request.options.get("without_timestamps", True)
             ),
         )
-        return self._context_prefix(request) + sot_seq
+        return (
+            self._context_prefix(request),
+            sot_seq,
+            self._forced_prefix(request),
+        )
+
+    def _forced_prefix(self, request: DecodeRequest) -> List[int]:
+        """faster_whisper/openai `prefix`: tokens forced at the start of
+        the transcript (after the sot sequence); the text reappears in
+        the output (see _harvest)."""
+        text = str(request.options.get("prefix") or "").strip()
+        if not text:
+            return []
+        budget = self.config.n_text_ctx // 2 - 1
+        return list(self.tokenizer.encode(" " + text)[-budget:])
 
     def _context_prefix(self, request: DecodeRequest) -> List[int]:
         """[sot_prev] + encoded initial_prompt/hotwords, truncated to half
@@ -727,9 +753,9 @@ class WhisperEngine:
         # langs[i] is None for auto rows: the detection runs ON DEVICE
         # inside the fused serve step (no encode->host->decode round-trip);
         # _harvest resolves it from the packed result's language columns.
-        prompts, langs, lang_ps = [], [], []
+        prompts, langs, lang_ps, prefix_texts = [], [], [], []
         auto_mask = np.zeros((batch_n,), np.bool_)
-        sot_len = 4
+        lang_pos = 1
         for i, task in enumerate(group):
             lang = task.request.language
             if not lang:
@@ -739,20 +765,14 @@ class WhisperEngine:
             else:
                 langs.append(lang)
                 lang_ps.append(1.0)
-            without_ts = bool(
-                task.request.options.get("without_timestamps", True)
-            )
-            sot_len = 4 if without_ts else 3
-            prompts.append(
-                self._context_prefix(task.request) + W.build_prompt(
-                    self.config,
-                    lang if lang else "en",  # placeholder; set on device
-                    task=task.request.task,
-                    without_timestamps=without_ts,
-                )
+            ctx, sot_seq, prefix_ids = self._prompt_parts(task.request)
+            prompts.append(ctx + sot_seq + prefix_ids)
+            lang_pos = len(ctx) + 1  # uniform in a group (ctx_len keyed)
+            prefix_texts.append(
+                str(task.request.options.get("prefix") or "").strip()
+                if prefix_ids else ""
             )
         p_len = len(prompts[0])
-        lang_pos = p_len - sot_len + 1  # the lang slot right after sot
         prompt_arr = np.full((batch_n, p_len), self.layout.eot, np.int32)
         for i, p in enumerate(prompts):
             prompt_arr[i] = p
@@ -807,6 +827,7 @@ class WhisperEngine:
             "group": group, "packed": packed,
             "rows_dev": rows_dev, "prompt_arr": prompt_arr,
             "lang_pos": lang_pos, "durations": durations,
+            "prefix_texts": prefix_texts,
             "langs": langs, "lang_ps": lang_ps, "p_len": p_len,
             "with_ts": with_ts, "bucket_sec": bucket_sec,
             "max_new": max_new, "batch_n": batch_n, "n": n,
@@ -821,6 +842,7 @@ class WhisperEngine:
         prompt_arr = ctx["prompt_arr"]
         lang_pos = ctx["lang_pos"]
         durations = ctx["durations"]
+        prefix_texts = ctx.get("prefix_texts") or [""] * len(ctx["group"])
         langs, lang_ps = ctx["langs"], ctx["lang_ps"]
         p_len = ctx["p_len"]
         with_ts = ctx["with_ts"]
@@ -863,6 +885,10 @@ class WhisperEngine:
                     ))
             else:
                 text = self.tokenizer.decode(gen_tokens)
+                if prefix_texts[i]:
+                    # forced `prefix` tokens live in the prompt; their text
+                    # is part of the transcript (openai prefix semantics)
+                    text = " " + prefix_texts[i] + text
                 segments = (
                     [Segment(0.0, durations[i], text)] if text.strip() else []
                 )

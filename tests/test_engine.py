@@ -461,3 +461,16 @@ def test_prompt_reset_on_temperature_drops_prefix(engine):
     ))
     assert out.info.language == "en"
     assert out.batch_rows == 1
+
+
+def test_prefix_option_forces_transcript_start(engine):
+    """`prefix` tokens are forced after the sot sequence and the prefix
+    text leads the transcript (openai/faster_whisper prefix semantics)."""
+    out = engine.transcribe_sync(_req(
+        seed=16, options={"prefix": "Hello world"},
+    ))
+    text = " ".join(s.text for s in out.segments)
+    assert text.strip().startswith("Hello world")
+    # a plain request on the same audio has no such constraint marker
+    plain = engine.transcribe_sync(_req(seed=16))
+    assert plain.info.language == "en"
