@@ -91,6 +91,29 @@ def _beam_size_of(request: DecodeRequest) -> int:
     return max(1, min(beam, 8))
 
 
+def _clip_ranges_of(request: DecodeRequest) -> Optional[List[Tuple[float, float]]]:
+    """faster_whisper `clip_timestamps`: "start,end,start,end,..." seconds
+    (or a list of floats); only those spans of the audio are transcribed.
+    An odd count means the last clip runs to the end. Returns None when
+    the option is absent/default."""
+    raw = request.options.get("clip_timestamps")
+    if raw in (None, "", "0", 0, [0], [0.0]):
+        return None
+    try:
+        if isinstance(raw, str):
+            vals = [float(x) for x in raw.split(",") if x.strip() != ""]
+        else:
+            vals = [float(x) for x in raw]
+    except (TypeError, ValueError):
+        return None
+    if not vals or vals == [0.0]:
+        return None
+    if len(vals) % 2 == 1:
+        vals.append(float("inf"))
+    return list(zip(vals[::2], vals[1::2]))
+
+
+
 def _ngram_of(request: DecodeRequest) -> int:
     """CT2 `no_repeat_ngram_size` (0 = off): ban tokens that would
     complete an n-gram already present in the sequence."""
@@ -739,6 +762,17 @@ class WhisperEngine:
         durations = []
         for i, task in enumerate(group):
             audio = task.request.audio
+            clips = _clip_ranges_of(task.request)
+            if clips is not None:
+                # zero everything outside the requested spans (seconds
+                # relative to this decode window)
+                keep = np.zeros(len(audio), bool)
+                for start, end in clips:
+                    lo = max(0, int(start * SAMPLE_RATE))
+                    hi = min(len(audio), int(min(end, 1e9) * SAMPLE_RATE))
+                    if hi > lo:
+                        keep[lo:hi] = True
+                audio = np.where(keep, audio, 0.0).astype(np.float32)
             if len(audio) > bucket_samples:
                 audio = audio[-bucket_samples:]  # keep trailing window
             rows[i, : len(audio)] = audio

@@ -474,3 +474,36 @@ def test_prefix_option_forces_transcript_start(engine):
     # a plain request on the same audio has no such constraint marker
     plain = engine.transcribe_sync(_req(seed=16))
     assert plain.info.language == "en"
+
+
+def test_clip_timestamps_masks_audio(engine):
+    """clip_timestamps zeroes audio outside the requested spans: clipping
+    everything away behaves like silence (empty or no-speech result),
+    while a full-range clip matches the unclipped decode."""
+    full = engine.transcribe_sync(_req(seed=17))
+    clipped_full = engine.transcribe_sync(_req(
+        seed=17, options={"clip_timestamps": "0,999"},
+    ))
+    assert (
+        [s.text for s in full.segments]
+        == [s.text for s in clipped_full.segments]
+    )
+    none_left = engine.transcribe_sync(_req(
+        seed=17, options={"clip_timestamps": "0.79,0.8",
+                          "no_speech_threshold": None},
+    ))
+    assert none_left.info.language == "en"  # still decodes (near-silence)
+
+
+def test_clip_ranges_parser():
+    from stt_tpu.engine.engine import DecodeRequest, _clip_ranges_of
+    import numpy as np
+
+    req = lambda v: DecodeRequest(
+        audio=np.zeros(10, np.float32), options={"clip_timestamps": v}
+    )
+    assert _clip_ranges_of(req("0")) is None
+    assert _clip_ranges_of(req(None)) is None
+    assert _clip_ranges_of(req("1,2,3,4")) == [(1.0, 2.0), (3.0, 4.0)]
+    assert _clip_ranges_of(req([2.5])) == [(2.5, float("inf"))]
+    assert _clip_ranges_of(req("bogus")) is None
