@@ -40,81 +40,87 @@ _HTTP_ALLOWLIST_ENV = "STT_HTTP_ALLOWLIST"
 _HTTP_TRUSTED_PROXIES_ENV = "STT_HTTP_TRUSTED_PROXIES"
 
 
-def _parse_bool(value: Any, default: bool = False) -> bool:
+# --- start-payload coercion -------------------------------------------
+# The WS JSON protocol accepts either raw enum numbers or the human
+# spellings the browser clients send; the alias vocabularies below are
+# part of the accepted wire protocol (shared with the gRPC CLI clients).
+# Coercion is deliberately lenient — unparseable values fall back to the
+# field default and the session-manager validation decides what to do.
+
+_BOOL_WORDS = {
+    "1": True, "true": True, "yes": True, "on": True,
+    "0": False, "false": False, "no": False, "off": False,
+}
+
+_PROFILE_ALIASES = {
+    "realtime": stt_pb2.DECODE_PROFILE_REALTIME,
+    "rt": stt_pb2.DECODE_PROFILE_REALTIME,
+    "low": stt_pb2.DECODE_PROFILE_REALTIME,
+    "low_latency": stt_pb2.DECODE_PROFILE_REALTIME,
+    "accurate": stt_pb2.DECODE_PROFILE_ACCURATE,
+    "accuracy": stt_pb2.DECODE_PROFILE_ACCURATE,
+    "high": stt_pb2.DECODE_PROFILE_ACCURATE,
+}
+
+_TASK_ALIASES = {
+    "transcribe": stt_pb2.TASK_TRANSCRIBE,
+    "transcription": stt_pb2.TASK_TRANSCRIBE,
+    "translate": stt_pb2.TASK_TRANSLATE,
+    "translation": stt_pb2.TASK_TRANSLATE,
+}
+
+_VAD_MODE_ALIASES = {
+    "auto": stt_pb2.VAD_AUTO_END,
+    "auto_end": stt_pb2.VAD_AUTO_END,
+    "auto-end": stt_pb2.VAD_AUTO_END,
+    "end": stt_pb2.VAD_AUTO_END,
+}
+
+
+def _as_bool(value: Any, default: bool = False) -> bool:
     if isinstance(value, bool):
         return value
     if value is None:
         return default
-    text = str(value).strip().lower()
-    if text in {"1", "true", "yes", "on"}:
-        return True
-    if text in {"0", "false", "no", "off"}:
-        return False
-    return default
+    return _BOOL_WORDS.get(str(value).strip().lower(), default)
 
 
-def _parse_float(value: Any, default: float = 0.0) -> float:
-    if value is None:
-        return default
+def _as_float(value: Any, default: float = 0.0) -> float:
     try:
-        return float(value)
+        return default if value is None else float(value)
     except (TypeError, ValueError):
         return default
 
 
-def _parse_decode_profile(value: Any) -> int:
+def _as_enum(value: Any, aliases: Dict[str, int], default: int) -> int:
     if isinstance(value, int):
         return value
-    raw = str(value or "").strip().lower()
-    if raw in {"realtime", "rt", "low", "low_latency"}:
-        return stt_pb2.DECODE_PROFILE_REALTIME
-    if raw in {"accurate", "accuracy", "high"}:
-        return stt_pb2.DECODE_PROFILE_ACCURATE
-    return stt_pb2.DECODE_PROFILE_UNSPECIFIED
+    return aliases.get(str(value or "").strip().lower(), default)
 
 
-def _parse_task(value: Any) -> int:
-    if isinstance(value, int):
-        return value
-    raw = str(value or "").strip().lower()
-    if raw in {"translate", "translation"}:
-        return stt_pb2.TASK_TRANSLATE
-    if raw in {"transcribe", "transcription"}:
-        return stt_pb2.TASK_TRANSCRIBE
-    return stt_pb2.TASK_UNSPECIFIED
-
-
-def _parse_vad_mode(value: Any) -> int:
-    if isinstance(value, int):
-        return value
-    raw = str(value or "").strip().lower()
-    if raw in {"auto", "auto_end", "auto-end", "end"}:
-        return stt_pb2.VAD_AUTO_END
-    return stt_pb2.VAD_CONTINUE
-
-
-def _normalize_attributes(raw: Any) -> Dict[str, str]:
+def _as_attributes(raw: Any) -> Dict[str, str]:
+    """JSON object -> proto map<string,string>, dropping null keys/values."""
     if not isinstance(raw, dict):
         return {}
     return {
-        str(k): str(v) for k, v in raw.items() if k is not None and v is not None
+        str(key): str(val)
+        for key, val in raw.items()
+        if key is not None and val is not None
     }
 
 
-def _normalize_metadata(raw: Any) -> List[Tuple[str, str]]:
+def _as_metadata(raw: Any) -> List[Tuple[str, str]]:
+    """JSON object -> lowercase gRPC-style invocation-metadata pairs."""
     if not isinstance(raw, dict):
         return []
-    return [
-        (str(k).lower(), str(v)) for k, v in raw.items() if k and v is not None
-    ]
+    return [(str(key).lower(), str(val)) for key, val in raw.items() if key and val is not None]
 
 
 def _peer_for_ws(client_ip: str) -> str:
+    """Render a gRPC-style peer string for session-manager logging."""
     if not client_ip:
         return ""
-    if ":" in client_ip:
-        return f"ipv6:[{client_ip}]:0"
-    return f"ipv4:{client_ip}:0"
+    return f"ipv6:[{client_ip}]:0" if ":" in client_ip else f"ipv4:{client_ip}:0"
 
 
 class WebSocketAbort(RuntimeError):
@@ -125,41 +131,46 @@ class WebSocketAbort(RuntimeError):
 
 
 class WebSocketContext:
-    """grpc.ServicerContext stand-in backing the orchestrator over WS."""
+    """grpc.ServicerContext stand-in backing the orchestrator over WS.
+
+    Only the surface the session manager / orchestrator actually touch is
+    implemented: invocation metadata, peer, liveness, disconnect callbacks,
+    trailing metadata, and abort (raised as :class:`WebSocketAbort`).
+    """
 
     def __init__(self, metadata: List[Tuple[str, str]], peer: str) -> None:
-        self._metadata = metadata
-        self._peer = peer
-        self._callbacks: List[Any] = []
-        self._active = True
+        self._invocation_md = metadata
+        self._peer_label = peer
+        self._on_close: List[Any] = []
+        self._open = True
         self.trailing_metadata = None
 
-    def invocation_metadata(self):
-        return list(self._metadata)
-
-    def add_callback(self, callback):
-        self._callbacks.append(callback)
-        return True
+    def peer(self) -> str:
+        return self._peer_label
 
     def is_active(self) -> bool:
-        return self._active
+        return self._open
+
+    def invocation_metadata(self):
+        return list(self._invocation_md)
 
     def set_trailing_metadata(self, metadata):
         self.trailing_metadata = metadata
 
-    def peer(self) -> str:
-        return self._peer
+    def add_callback(self, callback):
+        self._on_close.append(callback)
+        return True
 
     def abort(self, code, details):
         raise WebSocketAbort(code, details)
 
     def close(self) -> None:
-        if not self._active:
+        if not self._open:
             return
-        self._active = False
-        for callback in self._callbacks:
+        self._open = False
+        for hook in self._on_close:
             try:
-                callback()
+                hook()
             except Exception:
                 LOGGER.exception("WebSocket disconnect callback failed")
 
@@ -249,180 +260,252 @@ class WsBridge:
     def build_session_request(payload: Dict[str, Any], session_id: str):
         request = stt_pb2.SessionRequest(
             session_id=session_id,
-            attributes=_normalize_attributes(payload.get("attributes")),
-            vad_mode=_parse_vad_mode(payload.get("vad_mode")),
-            vad_silence=_parse_float(payload.get("vad_silence"), 0.0),
-            vad_threshold=_parse_float(payload.get("vad_threshold"), 0.0),
-            require_token=_parse_bool(payload.get("require_token"), False),
+            attributes=_as_attributes(payload.get("attributes")),
+            vad_mode=_as_enum(
+                payload.get("vad_mode"), _VAD_MODE_ALIASES, stt_pb2.VAD_CONTINUE
+            ),
+            vad_silence=_as_float(payload.get("vad_silence"), 0.0),
+            vad_threshold=_as_float(payload.get("vad_threshold"), 0.0),
+            require_token=_as_bool(payload.get("require_token"), False),
             language_code=str(payload.get("language_code") or ""),
-            task=_parse_task(payload.get("task")),
-            decode_profile=_parse_decode_profile(payload.get("decode_profile")),
+            task=_as_enum(
+                payload.get("task"), _TASK_ALIASES, stt_pb2.TASK_UNSPECIFIED
+            ),
+            decode_profile=_as_enum(
+                payload.get("decode_profile"),
+                _PROFILE_ALIASES,
+                stt_pb2.DECODE_PROFILE_UNSPECIFIED,
+            ),
         )
         if "vad_threshold_override" in payload:
-            request.vad_threshold_override = _parse_float(
+            request.vad_threshold_override = _as_float(
                 payload.get("vad_threshold_override"), 0.0
             )
         return request
 
     async def handle_connection(self, websocket) -> None:
         """Drive one WS streaming session end to end."""
-        try:
-            raw = await websocket.recv()
-            start_payload = json.loads(raw)
-        except Exception:
+        payload = await _read_start_envelope(websocket)
+        if payload is None:
             await websocket.close(code=1003)
             return
-        if isinstance(start_payload, dict) and start_payload.get("type") == "start":
-            payload = start_payload.get("data") or start_payload
-        else:
-            payload = start_payload if isinstance(start_payload, dict) else {}
 
         session_id = str(payload.get("session_id") or uuid.uuid4().hex)
         sample_rate = int(payload.get("sample_rate") or 16000)
-        metadata = _normalize_metadata(payload.get("metadata"))
-        peer_ip = (
-            websocket.remote_address[0]
-            if getattr(websocket, "remote_address", None)
-            else ""
+        context = WebSocketContext(
+            _as_metadata(payload.get("metadata")),
+            _peer_for_ws(_remote_ip(websocket)),
         )
-        context = WebSocketContext(metadata, _peer_for_ws(peer_ip))
-        request = self.build_session_request(payload, session_id)
 
         try:
-            response = self.runtime.create_session_handler.handle(request, context)
+            response = self.runtime.create_session_handler.handle(
+                self.build_session_request(payload, session_id), context
+            )
         except WebSocketAbort as exc:
-            await websocket.send(json.dumps({
-                "type": "error",
-                "code": str(exc.details).split()[0],
-                "message": exc.details,
-            }))
+            frame = _error_frame(exc.details)
+            frame["code"] = str(exc.details).split()[0]
+            await websocket.send(json.dumps(frame))
             await websocket.close(code=4401)
             return
 
-        await websocket.send(json.dumps({
-            "type": "session",
-            "session_id": session_id,
-            "attributes": dict(response.attributes),
-            "token": response.token,
-            "token_required": response.token_required,
-            "vad_mode": int(response.vad_mode),
-            "vad_silence": response.vad_silence,
-            "vad_threshold": response.vad_threshold,
-            "language_code": response.language_code,
-            "task": int(response.task),
-            "decode_profile": int(response.decode_profile),
-        }))
+        await websocket.send(json.dumps(_session_frame(session_id, response)))
 
-        audio_queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
-        result_queue: "asyncio.Queue[Tuple[str, Any]]" = asyncio.Queue()
-        loop = asyncio.get_running_loop()
-        session_token = response.token if response.token_required else ""
-
-        def audio_iter():
-            while True:
-                item = audio_queue.get()
-                if item is None:
-                    yield stt_pb2.AudioChunk(
-                        session_id=session_id,
-                        sample_rate=sample_rate,
-                        is_final=True,
-                        session_token=session_token,
-                    )
-                    return
-                yield stt_pb2.AudioChunk(
-                    session_id=session_id,
-                    sample_rate=sample_rate,
-                    pcm16=item,
-                    is_final=False,
-                    session_token=session_token,
-                )
-
-        def run_stream():
-            try:
-                for result in self.runtime.stream_orchestrator.run(
-                    audio_iter(), context
-                ):
-                    loop.call_soon_threadsafe(
-                        result_queue.put_nowait, ("result", result)
-                    )
-                loop.call_soon_threadsafe(result_queue.put_nowait, ("done", None))
-            except Exception as exc:
-                loop.call_soon_threadsafe(result_queue.put_nowait, ("error", exc))
-
-        thread = threading.Thread(target=run_stream, daemon=True)
-        thread.start()
-
-        async def recv_audio() -> None:
-            try:
-                async for message in websocket:
-                    if isinstance(message, (bytes, bytearray)):
-                        if message:
-                            audio_queue.put(bytes(message))
-                        continue
-                    try:
-                        data = json.loads(message)
-                    except (ValueError, TypeError):
-                        continue
-                    if isinstance(data, dict) and data.get("type") == "end":
-                        break
-            except Exception:
-                pass
-            finally:
-                context.close()
-                audio_queue.put(None)
-
-        async def send_results() -> None:
-            while True:
-                kind, item = await result_queue.get()
-                if kind == "result":
-                    try:
-                        await websocket.send(json.dumps({
-                            "type": "result",
-                            "is_final": item.is_final,
-                            "text": item.text,
-                            "committed_text": item.committed_text,
-                            "unstable_text": item.unstable_text,
-                            "start_sec": item.start_sec,
-                            "end_sec": item.end_sec,
-                            "language_code": item.language_code,
-                            "language": item.language,
-                            "probability": item.probability,
-                        }))
-                    except Exception:
-                        break
-                    continue
-                if kind == "error":
-                    details = (
-                        item.details
-                        if isinstance(item, WebSocketAbort)
-                        else str(item)
-                    )
-                    try:
-                        await websocket.send(json.dumps({
-                            "type": "error", "message": details,
-                        }))
-                    except Exception:
-                        pass
-                    break
-                if kind == "done":
-                    trailing = (
-                        dict(context.trailing_metadata)
-                        if context.trailing_metadata
-                        else None
-                    )
-                    try:
-                        await websocket.send(json.dumps({
-                            "type": "done", "trailing": trailing,
-                        }))
-                    except Exception:
-                        pass
-                    break
-
-        await asyncio.gather(recv_audio(), send_results())
+        pump = _SessionPump(
+            self.runtime,
+            context,
+            session_id=session_id,
+            sample_rate=sample_rate,
+            session_token=response.token if response.token_required else "",
+        )
+        pump.start()
+        await asyncio.gather(
+            self._ingest_audio(websocket, context, pump),
+            pump.flush_to(websocket),
+        )
+        context.close()  # post-drain cleanup (disconnect callbacks already ran if torn down)
         try:
             await websocket.close()
         except Exception:
             pass
+
+    @staticmethod
+    async def _ingest_audio(websocket, context, pump: "_SessionPump") -> None:
+        """Read the socket until disconnect or an explicit end frame.
+
+        Binary frames are PCM16 audio; text frames are JSON control
+        messages (only ``{"type": "end"}`` is meaningful; the rest are
+        ignored for forward compatibility).
+
+        A graceful end frame must NOT close the context: the orchestrator
+        still has to decode the buffered tail and emit the final result,
+        and ``context.close()`` reads as a client disconnect (which
+        cancels in-flight work). Only a real socket teardown closes it.
+        """
+        graceful = False
+        try:
+            async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    if message:
+                        pump.feed(bytes(message))
+                    continue
+                try:
+                    control = json.loads(message)
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(control, dict) and control.get("type") == "end":
+                    graceful = True
+                    break
+        except Exception:
+            pass  # socket torn down mid-stream: handled as disconnect below
+        finally:
+            if not graceful:
+                context.close()
+            pump.finish()
+
+
+async def _read_start_envelope(websocket) -> Optional[Dict[str, Any]]:
+    """First frame must be JSON; accept bare payloads or a start envelope."""
+    try:
+        first = json.loads(await websocket.recv())
+    except Exception:
+        return None
+    if not isinstance(first, dict):
+        return {}
+    if first.get("type") == "start":
+        return first.get("data") or first
+    return first
+
+
+def _remote_ip(websocket) -> str:
+    addr = getattr(websocket, "remote_address", None)
+    return addr[0] if addr else ""
+
+
+def _session_frame(session_id: str, response) -> Dict[str, Any]:
+    """Session-echo frame; field set is the WS wire contract."""
+    return {
+        "type": "session",
+        "session_id": session_id,
+        "attributes": dict(response.attributes),
+        "token": response.token,
+        "token_required": response.token_required,
+        "vad_mode": int(response.vad_mode),
+        "vad_silence": response.vad_silence,
+        "vad_threshold": response.vad_threshold,
+        "language_code": response.language_code,
+        "task": int(response.task),
+        "decode_profile": int(response.decode_profile),
+    }
+
+
+def _result_frame(result) -> Dict[str, Any]:
+    return {
+        "type": "result",
+        "is_final": result.is_final,
+        "text": result.text,
+        "committed_text": result.committed_text,
+        "unstable_text": result.unstable_text,
+        "start_sec": result.start_sec,
+        "end_sec": result.end_sec,
+        "language_code": result.language_code,
+        "language": result.language,
+        "probability": result.probability,
+    }
+
+
+def _error_frame(message: str) -> Dict[str, Any]:
+    return {"type": "error", "message": message}
+
+
+class _SessionPump:
+    """Bridges one live WS connection to the synchronous orchestrator.
+
+    The orchestrator is a blocking generator, so it runs on a daemon
+    worker thread. Inbound PCM crosses event-loop -> worker through a
+    thread-safe queue; outbound frames are rendered to wire-ready JSON
+    dicts on the worker and handed back to the loop via
+    ``call_soon_threadsafe``. A ``closing`` flag on each outbound event
+    (set on the error/done frames) tells the sender when to stop — the
+    worker itself decides how the stream ends.
+    """
+
+    _EOS = object()  # inbound end-of-stream marker
+
+    def __init__(
+        self,
+        runtime,
+        context: WebSocketContext,
+        *,
+        session_id: str,
+        sample_rate: int,
+        session_token: str,
+    ) -> None:
+        self._runtime = runtime
+        self._context = context
+        self._session_id = session_id
+        self._sample_rate = sample_rate
+        self._session_token = session_token
+        self._inbound: "queue.Queue[Any]" = queue.Queue()
+        self._outbound: "asyncio.Queue[Tuple[Dict[str, Any], bool]]" = asyncio.Queue()
+        self._loop = asyncio.get_running_loop()
+        self._worker = threading.Thread(target=self._decode_loop, daemon=True)
+
+    # -- event-loop side --------------------------------------------------
+
+    def start(self) -> None:
+        self._worker.start()
+
+    def feed(self, pcm: bytes) -> None:
+        self._inbound.put(pcm)
+
+    def finish(self) -> None:
+        self._inbound.put(self._EOS)
+
+    async def flush_to(self, websocket) -> None:
+        """Forward outbound frames until a closing frame or a dead socket."""
+        closing = False
+        while not closing:
+            frame, closing = await self._outbound.get()
+            try:
+                await websocket.send(json.dumps(frame))
+            except Exception:
+                return
+
+    # -- worker-thread side -----------------------------------------------
+
+    def _chunks(self):
+        """Sync AudioChunk generator the orchestrator consumes."""
+        while True:
+            item = self._inbound.get()
+            chunk = stt_pb2.AudioChunk(
+                session_id=self._session_id,
+                sample_rate=self._sample_rate,
+                is_final=item is self._EOS,
+                session_token=self._session_token,
+            )
+            if item is not self._EOS:
+                chunk.pcm16 = item
+            yield chunk
+            if chunk.is_final:
+                return
+
+    def _emit(self, frame: Dict[str, Any], closing: bool) -> None:
+        self._loop.call_soon_threadsafe(self._outbound.put_nowait, (frame, closing))
+
+    def _decode_loop(self) -> None:
+        orchestrator = self._runtime.stream_orchestrator
+        try:
+            for result in orchestrator.run(self._chunks(), self._context):
+                self._emit(_result_frame(result), closing=False)
+        except Exception as exc:
+            message = exc.details if isinstance(exc, WebSocketAbort) else str(exc)
+            self._emit(_error_frame(message), closing=True)
+        else:
+            trailing = self._context.trailing_metadata
+            self._emit(
+                {"type": "done", "trailing": dict(trailing) if trailing else None},
+                closing=True,
+            )
 
 
 @dataclass

@@ -164,6 +164,33 @@ def test_ws_session_create_error(runtime):
     assert ws2.closed == 4401
 
 
+def test_ws_graceful_end_yields_final(runtime):
+    """A graceful {"type":"end"} must drain a FINAL result, not cancel.
+
+    Regression: closing the WS context before the orchestrator consumed
+    the is_final chunk read as a client disconnect, so the buffered tail
+    was never decoded (reason=client_disconnect, no final frame).
+    """
+    start = json.dumps({
+        "type": "start",
+        "session_id": "ws-graceful-1",
+        "sample_rate": 16000,
+        "vad_threshold": 0.0,
+        "attributes": {"upload_mode": "batch"},
+    })
+    # unpaced burst + immediate end: the final decode only happens if the
+    # bridge keeps the context alive through the drain
+    frames = [_pcm(0.25) for _ in range(8)]
+    ws = FakeWebSocket([start] + frames + [json.dumps({"type": "end"})])
+    asyncio.run(WsBridge(runtime).handle_connection(ws))
+
+    messages = [json.loads(m) for m in ws.sent]
+    finals = [m for m in messages if m["type"] == "result" and m["is_final"]]
+    assert finals, f"no final result frame; got kinds {[m['type'] for m in messages]}"
+    assert finals[-1]["text"]
+    assert messages[-1]["type"] == "done"
+
+
 def test_ws_invalid_start_closes_1003(runtime):
     ws = FakeWebSocket(["not json {{{"])
     bridge = WsBridge(runtime)
