@@ -48,6 +48,10 @@ class JaxWhisperBackend:
             language=options.get("language") or None,
             task=str(options.get("task", "transcribe")),
             options=dict(options),
+            # a standalone transcribe() is a complete decode: audio past
+            # the largest window runs the sequential seek loop instead of
+            # being truncated (reference backends decode arbitrary length)
+            is_final=True,
         )
         out = self.engine.transcribe_sync(request)
         return out.segments, out.info

@@ -69,6 +69,10 @@ class DecodeOutput:
     batch_rows: int = 0
     avg_logprob: float = 0.0
     no_speech_prob: float = 0.0
+    # temperature of the ladder rung that produced the result (0.0 = the
+    # primary pass); the long-audio seek loop uses it for
+    # prompt_reset_on_temperature semantics across windows
+    temperature_used: float = 0.0
 
 
 class _Task:
@@ -111,6 +115,19 @@ def _clip_ranges_of(request: DecodeRequest) -> Optional[List[Tuple[float, float]
     if len(vals) % 2 == 1:
         vals.append(float("inf"))
     return list(zip(vals[::2], vals[1::2]))
+
+
+def _apply_clips(
+    audio: np.ndarray, clips: List[Tuple[float, float]]
+) -> np.ndarray:
+    """Zero everything outside the requested [start, end) second spans."""
+    keep = np.zeros(len(audio), bool)
+    for start, end in clips:
+        lo = max(0, int(start * SAMPLE_RATE))
+        hi = min(len(audio), int(min(end, 1e9) * SAMPLE_RATE))
+        if hi > lo:
+            keep[lo:hi] = True
+    return np.where(keep, audio, 0.0).astype(np.float32)
 
 
 
@@ -162,6 +179,27 @@ def _patience_of(request: DecodeRequest) -> float:
     except (TypeError, ValueError):
         p = 1.0
     return max(1.0, min(round(p * 4) / 4, 4.0))
+
+
+def _best_of_of(request: DecodeRequest) -> int:
+    """faster_whisper `best_of`: independent samples per fallback rung
+    (temperature > 0), best avg-logprob candidate kept."""
+    try:
+        return max(1, min(int(
+            request.options.get("best_of", 1) or 1
+        ), 5))
+    except (TypeError, ValueError):
+        return 1
+
+
+def _reset_temp_of(request: DecodeRequest) -> Optional[float]:
+    """faster_whisper `prompt_reset_on_temperature`: fallback rungs above
+    this temperature drop the conditioning prefix. None disables."""
+    try:
+        raw = request.options.get("prompt_reset_on_temperature", 0.5)
+        return float(raw) if raw is not None else None
+    except (TypeError, ValueError):
+        return 0.5
 
 
 def _temperature_ladder(options: Dict[str, Any]) -> List[float]:
@@ -258,27 +296,30 @@ def _decode_best(
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
     patience: float = 1.0, length_penalty: float = 1.0,
     suppress_blank: bool = True, rep_penalty=None, ngram_n: int = 0,
+    sot_pos: int = 0,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
     (the `accurate` profile). ``cache`` must hold B*beam_size rows.
-    ``with_timestamps`` selects the timestamp-token greedy decoder
-    (beam search stays no-timestamps, matching faster_whisper defaults)."""
+    ``with_timestamps`` applies the openai timestamp grammar in either
+    decoder — beam search keeps its width with timestamps on, matching
+    faster_whisper (whose default is timestamps WITH beam search)."""
     if with_timestamps and beam_size <= 1:
         return W.greedy_decode_timestamps(
             params, enc, prompt, prompt_len, cache, config, n_head,
-            max_new_tokens,
+            max_new_tokens, sot_pos=sot_pos,
         )
     if beam_size <= 1:
         return W.greedy_decode(
             params, enc, prompt, prompt_len, cache, config, n_head,
             max_new_tokens, suppress_blank=suppress_blank,
-            rep_penalty=rep_penalty, ngram_n=ngram_n,
+            rep_penalty=rep_penalty, ngram_n=ngram_n, sot_pos=sot_pos,
         )
     return W.beam_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, beam_size=beam_size, patience=patience,
         length_penalty=length_penalty, suppress_blank=suppress_blank,
         rep_penalty=rep_penalty, ngram_n=ngram_n,
+        with_timestamps=with_timestamps, sot_pos=sot_pos,
     )
 
 
@@ -291,13 +332,13 @@ def _decode_best(
 def _sample_packed(
     params, enc, prompt, prompt_len, cache, config, n_head: int,
     max_new_tokens: int, temperature, rng, suppress_blank: bool = True,
-    rep_penalty=None, ngram_n: int = 0,
+    rep_penalty=None, ngram_n: int = 0, sot_pos=None,
 ) -> jnp.ndarray:
     res = W.sample_decode(
         params, enc, prompt, prompt_len, cache, config, n_head,
         max_new_tokens, temperature=temperature, rng=rng,
         suppress_blank=suppress_blank, rep_penalty=rep_penalty,
-        ngram_n=ngram_n,
+        ngram_n=ngram_n, sot_pos=sot_pos,
     )
     return _pack_result(res)
 
@@ -344,6 +385,7 @@ def _serve_step(
         params, enc, prompt, prompt_len, cache, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
         length_penalty, suppress_blank, rep_penalty, ngram_n,
+        sot_pos=lang_pos - 1,
     )
     return _pack_result(res, lang_idx, lang_p)
 
@@ -504,7 +546,10 @@ class WhisperEngine:
 
     def transcribe_sync(self, request: DecodeRequest) -> DecodeOutput:
         """Run one request immediately on the calling thread (no batching)."""
-        return self._run_group([_Task(request, None)])[0]
+        task = _Task(request, None)
+        if self._is_long(request):
+            return self._run_long(task)
+        return self._run_group([task])[0]
 
     def pending(self) -> int:
         return self._queue.qsize()
@@ -605,6 +650,40 @@ class WhisperEngine:
             if not self._running and self._queue.empty():
                 return
 
+    def _group_key(self, task: _Task) -> Tuple:
+        """Batch-compatibility signature. Shape axes (bucket, prompt/ctx
+        lengths) AND every decode policy that is applied group-wide must
+        be in the key — two sessions may only share a batch when the
+        whole policy matches, otherwise one session's temperature ladder /
+        best_of / prompt-reset would be applied to the other's audio."""
+        request = task.request
+        bucket = self._bucket_for(len(request.audio))
+        ctx, sot_seq, prefix_ids = self._prompt_parts(request)
+        p_len = len(ctx) + len(sot_seq) + len(prefix_ids)
+        ctx_len = len(ctx)  # fixes the language-slot position
+        beam = _beam_size_of(request)
+        patience = _patience_of(request) if beam > 1 else 1.0
+        len_pen = _length_penalty_of(request) if beam > 1 else 1.0
+        sb = _suppress_blank_of(request)
+        ng = _ngram_of(request)
+        with_ts = not bool(request.options.get("without_timestamps", True))
+        fallback_sig = (
+            tuple(_temperature_ladder(request.options)),
+            _best_of_of(request),
+            _reset_temp_of(request),
+        )
+        return (bucket, p_len, ctx_len, beam, with_ts, patience, len_pen,
+                sb, ng, fallback_sig)
+
+    def _is_long(self, request: DecodeRequest) -> bool:
+        """True when a FINAL decode's audio exceeds the largest compiled
+        window and must run the sequential seek loop. Partials keep the
+        trailing-window semantics (the newest audio is what a live
+        caption needs; the orchestrator windows them upstream anyway)."""
+        max_win = int(self.audio_buckets_sec[-1] * SAMPLE_RATE)
+        max_win -= max_win % HOP_LENGTH
+        return request.is_final and len(request.audio) > max_win
+
     def _process(self, batch: List[_Task]) -> None:
         live: List[_Task] = []
         for task in batch:
@@ -615,28 +694,13 @@ class WhisperEngine:
                 live.append(task)
         if not live:
             return
-        # group by (audio bucket, prompt signature length)
-        groups: Dict[Tuple[float, int], List[_Task]] = {}
+        long_tasks = [t for t in live if self._is_long(t.request)]
+        if long_tasks:
+            long_ids = {id(t) for t in long_tasks}
+            live = [t for t in live if id(t) not in long_ids]
+        groups: Dict[Tuple, List[_Task]] = {}
         for task in live:
-            bucket = self._bucket_for(len(task.request.audio))
-            ctx, sot_seq, prefix_ids = self._prompt_parts(task.request)
-            p_len = len(ctx) + len(sot_seq) + len(prefix_ids)
-            ctx_len = len(ctx)  # fixes the language-slot position
-            beam = _beam_size_of(task.request)
-            patience = _patience_of(task.request) if beam > 1 else 1.0
-            len_pen = (
-                _length_penalty_of(task.request) if beam > 1 else 1.0
-            )
-            sb = _suppress_blank_of(task.request)
-            ng = _ngram_of(task.request)
-            with_ts = not bool(
-                task.request.options.get("without_timestamps", True)
-            )
-            groups.setdefault(
-                (bucket, p_len, ctx_len, beam, with_ts, patience, len_pen,
-                 sb, ng),
-                [],
-            ).append(task)
+            groups.setdefault(self._group_key(task), []).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
             # a group can exceed the largest compiled batch shape when
@@ -656,6 +720,17 @@ class WhisperEngine:
                     ctx = None
                 self._harvest_inflight()
                 self._inflight = (sub, ctx)
+        # long finals run their sequential seek loop after the batched
+        # groups are dispatched (each window is itself a warmed shape)
+        for task in long_tasks:
+            try:
+                out = self._run_long(task)
+            except Exception as exc:
+                if not task.future.done():
+                    task.future.set_exception(exc)
+            else:
+                if not task.future.done():
+                    task.future.set_result(out)
         # (the engine loop harvests the tail when the queue idles)
 
     def _harvest_inflight(self) -> None:
@@ -731,6 +806,119 @@ class WhisperEngine:
             return []
         return [self.layout.sot_prev] + list(ids)
 
+    # -- long-audio sequential decode (the whisper seek loop) -----------------
+
+    def _run_long(self, task: _Task) -> DecodeOutput:
+        """Transcribe a final longer than the largest compiled window by
+        iterating 30 s windows on the host — the TPU-native equivalent of
+        the reference backends' seek loop (faster_whisper delegates to
+        CTranslate2's internal 30 s loop, reference
+        ``stt_server/model/backends/faster_whisper.py:22-35``; openai
+        ``whisper/transcribe.py`` seek semantics).
+
+        - each window decodes with an already-compiled bucket shape;
+        - with ``condition_on_previous_text`` (default on) the text decoded
+          so far feeds the next window's conditioning prefix ([sot_prev]),
+          reset when a fallback rung exceeded ``prompt_reset_on_temperature``
+          (whisper's prompt_reset_since rule);
+        - in timestamp mode the seek advances to the last closed segment so
+          an utterance cut by the window boundary re-decodes whole;
+        - segment times are shifted by the window offset so timestamps stay
+          global over the full audio.
+        """
+        req = task.request
+        audio = np.asarray(req.audio, np.float32)
+        opts = dict(req.options)
+        clips = _clip_ranges_of(req)
+        if clips is not None:
+            # spans are relative to the WHOLE audio; resolve before windowing
+            audio = _apply_clips(audio, clips)
+            opts.pop("clip_timestamps", None)
+        win = int(self.audio_buckets_sec[-1] * SAMPLE_RATE)
+        win -= win % HOP_LENGTH
+        condition = bool(opts.get("condition_on_previous_text", True))
+        with_ts = not bool(opts.get("without_timestamps", True))
+        reset_t = _reset_temp_of(req)
+        base_prompt = str(
+            opts.get("initial_prompt") or opts.get("hotwords") or ""
+        ).strip()
+        prefix_once = opts.pop("prefix", None)  # first window only
+
+        segments: List[Segment] = []
+        info: Optional[BackendInfo] = None
+        language = req.language
+        prev_text = ""
+        lp_sum = 0.0
+        ns_sum = 0.0
+        n_windows = 0
+        inference = 0.0
+        max_temp = 0.0
+        seek = 0
+        while seek < len(audio):
+            if task.cancel_event is not None and task.cancel_event.is_set():
+                break
+            chunk = audio[seek : seek + win]
+            w_opts = dict(opts)
+            cond_text = (
+                " ".join(x for x in (base_prompt, prev_text) if x).strip()
+                if condition else base_prompt
+            )
+            w_opts.pop("hotwords", None)
+            if cond_text:
+                w_opts["initial_prompt"] = cond_text
+            else:
+                w_opts.pop("initial_prompt", None)
+            if prefix_once is not None and seek == 0:
+                w_opts["prefix"] = prefix_once
+            sub = DecodeRequest(
+                audio=chunk, language=language, task=req.task,
+                options=w_opts, is_final=False, session_id=req.session_id,
+            )
+            out = self._run_group_inner([_Task(sub, None)])[0]
+            offset = seek / SAMPLE_RATE
+            dur = len(chunk) / SAMPLE_RATE
+            segments.extend(
+                Segment(s.start + offset, s.end + offset, s.text)
+                for s in out.segments
+            )
+            if info is None:
+                info = out.info
+                if not language:
+                    # language detection runs on the FIRST window only and
+                    # pins the rest (openai transcribe() semantics)
+                    language = out.info.language
+            lp_sum += out.avg_logprob
+            ns_sum += out.no_speech_prob
+            inference += out.inference_sec
+            max_temp = max(max_temp, out.temperature_used)
+            n_windows += 1
+            advance = len(chunk)
+            if with_ts and out.segments and len(chunk) == win:
+                last_end = out.segments[-1].end
+                if 0.0 < last_end < dur:
+                    advance = int(last_end * SAMPLE_RATE)
+            seek += max(advance, SAMPLE_RATE)  # never stall
+            if condition:
+                window_text = "".join(s.text for s in out.segments)
+                if reset_t is not None and out.temperature_used > reset_t:
+                    # prompt_reset: drop everything decoded BEFORE this
+                    # window; the hot window's own text still conditions
+                    prev_text = window_text.strip()
+                else:
+                    prev_text = (prev_text + " " + window_text).strip()
+                # the conditioning encoder keeps the last n_text_ctx//2
+                # tokens; bound the host string accordingly
+                prev_text = prev_text[-4000:]
+        return DecodeOutput(
+            segments=segments,
+            info=info or BackendInfo(language, 1.0),
+            inference_sec=inference,
+            batch_rows=1,
+            avg_logprob=lp_sum / max(1, n_windows),
+            no_speech_prob=ns_sum / max(1, n_windows),
+            temperature_used=max_temp,
+        )
+
     def _run_group(
         self, group: List[_Task], already_running: bool = False
     ) -> List[DecodeOutput]:
@@ -764,17 +952,13 @@ class WhisperEngine:
             audio = task.request.audio
             clips = _clip_ranges_of(task.request)
             if clips is not None:
-                # zero everything outside the requested spans (seconds
-                # relative to this decode window)
-                keep = np.zeros(len(audio), bool)
-                for start, end in clips:
-                    lo = max(0, int(start * SAMPLE_RATE))
-                    hi = min(len(audio), int(min(end, 1e9) * SAMPLE_RATE))
-                    if hi > lo:
-                        keep[lo:hi] = True
-                audio = np.where(keep, audio, 0.0).astype(np.float32)
+                # spans in seconds relative to this decode window
+                audio = _apply_clips(audio, clips)
             if len(audio) > bucket_samples:
-                audio = audio[-bucket_samples:]  # keep trailing window
+                # partial-window semantics: a live caption needs the newest
+                # audio. FINALS never reach this — they route through the
+                # sequential seek loop (_run_long) instead.
+                audio = audio[-bucket_samples:]
             rows[i, : len(audio)] = audio
             durations.append(len(audio) / SAMPLE_RATE)
 
@@ -825,8 +1009,6 @@ class WhisperEngine:
             not bool(t.request.options.get("without_timestamps", True))
             for t in group
         )
-        if with_ts:
-            beam = 1  # timestamp decoding is greedy-only
         cache = W.init_kv_cache(
             self.config, batch_n * beam, p_len + max_new, dtype=self._dtype
         )
@@ -997,16 +1179,9 @@ class WhisperEngine:
                 # prompt_reset_on_temperature (faster_whisper): above this
                 # temperature, retries drop the conditioning prefix
                 # ([sot_prev] + initial_prompt tokens) so a hallucinating
-                # context cannot keep steering the resample
-                try:
-                    raw_reset = group[0].request.options.get(
-                        "prompt_reset_on_temperature", 0.5
-                    )
-                    reset_t = (
-                        float(raw_reset) if raw_reset is not None else None
-                    )
-                except (TypeError, ValueError):
-                    reset_t = 0.5
+                # context cannot keep steering the resample. Uniform in a
+                # group: the fallback signature is part of the group key.
+                reset_t = _reset_temp_of(group[0].request)
                 rep_arr_f = np.ones((batch_n,), np.float32)
                 for i, t in enumerate(group):
                     rep_arr_f[i] = _rep_penalty_of(t.request)
@@ -1030,12 +1205,7 @@ class WhisperEngine:
                         bare_arr[i] = bp
                     bare_dev = jnp.asarray(bare_arr)
                     bare_len_dev = jnp.full((batch_n,), bare_len, jnp.int32)
-                try:
-                    best_of = max(1, min(int(
-                        group[0].request.options.get("best_of", 1) or 1
-                    ), 5))
-                except (TypeError, ValueError):
-                    best_of = 1
+                best_of = _best_of_of(group[0].request)
                 for rung_idx, temp in enumerate(rungs):
                     # best_of independent samples per rung; keep the highest
                     # avg-logprob candidate per row (faster_whisper best_of)
@@ -1074,6 +1244,7 @@ class WhisperEngine:
                             rng=jax.random.PRNGKey(
                                 rung_idx * 131 + sample_idx + 1
                             ),
+                            sot_pos=0 if use_bare else lang_pos - 1,
                         )
                         arr_r = np.asarray(packed_r)
                         candidates.append([
@@ -1086,6 +1257,7 @@ class WhisperEngine:
                             (cand[slot] for cand in candidates),
                             key=lambda o: o.avg_logprob,
                         )
+                        best.temperature_used = float(temp)
                         outputs[i] = best
                         if _needs_fallback(
                             " ".join(s.text for s in best.segments),
@@ -1105,6 +1277,7 @@ class WhisperEngine:
                 inference_sec=elapsed, batch_rows=out.batch_rows,
                 avg_logprob=out.avg_logprob,
                 no_speech_prob=out.no_speech_prob,
+                temperature_used=out.temperature_used,
             )
         return outputs
 

@@ -587,6 +587,15 @@ class DecodeResult(NamedTuple):
     no_speech_prob: jnp.ndarray  # (B,) p(no_speech) at the sot position
 
 
+def _sot_pos_arr(sot_pos) -> jnp.ndarray:
+    """Position of the sot token in the prompt: 0 for a bare sot sequence,
+    len(ctx) when a conditioning prefix ([sot_prev] + tokens) precedes it.
+    whisper reads p(no_speech) from the logits produced AT the sot position
+    (openai ``DecodingTask._main_loop``), so prefill must capture at
+    ``i == sot_pos``, not a hardcoded 0."""
+    return jnp.asarray(0 if sot_pos is None else sot_pos, jnp.int32)
+
+
 def _suppress_mask(config: WhisperConfig, suppress_blank: bool) -> np.ndarray:
     """Additive logit mask suppressing special/timestamp tokens (greedy,
     no-timestamps mode)."""
@@ -674,6 +683,7 @@ def greedy_decode(
     suppress_blank: bool = True,
     rep_penalty: Optional[jnp.ndarray] = None,
     ngram_n: int = 0,
+    sot_pos: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Batched greedy decode with per-row early stop.
 
@@ -691,6 +701,7 @@ def greedy_decode(
         _sample_begin_mask(config) if suppress_blank
         else np.zeros(config.n_vocab, np.float32)
     )
+    sot_pos = _sot_pos_arr(sot_pos)
 
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
@@ -702,9 +713,10 @@ def greedy_decode(
             params, tok_i, i, cache, cross_kv, n_head, i
         )
         probs = jax.nn.softmax(logits, axis=-1)
-        # capture p(no_speech) at the position right after sot (i == 0)
+        # capture p(no_speech) at the sot position (== 0 only when no
+        # conditioning ctx precedes the sot sequence)
         no_speech_prob = jnp.where(
-            i == 0, probs[:, layout.no_speech], no_speech_prob
+            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
         )
         return cache, no_speech_prob
 
@@ -806,6 +818,7 @@ def sample_decode(
     suppress_blank: bool = True,
     rep_penalty: Optional[jnp.ndarray] = None,
     ngram_n: int = 0,
+    sot_pos: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Categorical sampling at a (traced) temperature — the retry rungs of
     whisper's temperature-fallback ladder (reference faster_whisper passes
@@ -821,6 +834,7 @@ def sample_decode(
         _sample_begin_mask(config) if suppress_blank
         else np.zeros(config.n_vocab, np.float32)
     )
+    sot_pos = _sot_pos_arr(sot_pos)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     temperature = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-3)
@@ -835,7 +849,7 @@ def sample_decode(
                                       n_head, i)
         probs = jax.nn.softmax(logits, axis=-1)
         no_speech_prob = jnp.where(
-            i == 0, probs[:, layout.no_speech], no_speech_prob
+            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
         )
         return cache, no_speech_prob
 
@@ -918,8 +932,117 @@ def compression_ratio(text: str) -> float:
 
 
 # ---------------------------------------------------------------------------
-# Timestamp-mode greedy decoding (per-segment times)
+# Timestamp-mode decoding (per-segment times)
 # ---------------------------------------------------------------------------
+
+
+class _TsRules(NamedTuple):
+    """Constants for the openai timestamp grammar (ApplyTimestampRules)."""
+
+    vocab_ids: jnp.ndarray  # (V,) int32
+    is_ts: jnp.ndarray      # (V,) bool — timestamp tokens
+    is_text: jnp.ndarray    # (V,) bool — plain text tokens (eot excluded)
+    ts_begin: int
+    max_initial: int
+
+
+def _ts_rules(config: WhisperConfig, max_initial_timestamp: int) -> _TsRules:
+    layout = token_layout(config.n_vocab)
+    vocab_ids = jnp.arange(config.n_vocab, dtype=jnp.int32)
+    return _TsRules(
+        vocab_ids,
+        vocab_ids >= layout.timestamp_begin,
+        vocab_ids < layout.eot,
+        layout.timestamp_begin,
+        max_initial_timestamp,
+    )
+
+
+def _ts_base_mask(config: WhisperConfig) -> np.ndarray:
+    """Additive base suppression for timestamp mode: specials in
+    [sot, ts_begin) stay banned, eot and timestamp tokens are allowed."""
+    layout = token_layout(config.n_vocab)
+    base = np.zeros(config.n_vocab, np.float32)
+    base[layout.sot:layout.timestamp_begin] = -np.inf
+    base[layout.eot] = 0.0
+    return base
+
+
+def _ts_apply(
+    rules: _TsRules, logits, last_ts, last_was_ts, penult_was_ts, gen_count
+):
+    """openai-whisper timestamp rules applied to (..., V) logits; the state
+    arrays share the leading dims. ``gen_count`` is the number of tokens
+    generated so far (scalar):
+
+    - after a lone timestamp: only a timestamp (its pair) or EOT
+    - after a timestamp pair: text only (no third timestamp)
+    - timestamps never decrease; after a CLOSED pair the next segment's
+      opening timestamp must be strictly greater (whisper's
+      ``timestamps[-1] + 1`` rule — prevents zero-advance loops)
+    - the first generated token is a timestamp within the initial cap
+    - when total timestamp probability beats the best text token, a
+      timestamp is forced (the sum-probability rule)
+    """
+    neg_inf = jnp.float32(-jnp.inf)
+    is_ts, is_text = rules.is_ts, rules.is_text
+    # openai convention: with fewer than 2 generated tokens the
+    # penultimate counts as a timestamp, so a lone initial <|t|> is
+    # followed by text, not forced into a pair
+    penult = jnp.logical_or(penult_was_ts, gen_count < 2)
+    ban_ts = jnp.logical_and(last_was_ts, penult)
+    force_ts = jnp.logical_and(last_was_ts, ~penult)
+    mask = jnp.zeros_like(logits)
+    mask = jnp.where(
+        jnp.logical_and(ban_ts[..., None], is_ts), neg_inf, mask
+    )
+    mask = jnp.where(
+        jnp.logical_and(force_ts[..., None], is_text), neg_inf, mask
+    )
+    # monotonic floor: an unpaired timestamp may repeat (its pair);
+    # otherwise the next timestamp must exceed the last one seen.
+    # last_ts inits to ts_begin - 1 ("none yet"), making the floor vacuous.
+    floor = last_ts + jnp.where(force_ts, 0, 1)
+    below = rules.vocab_ids < floor[..., None]
+    mask = jnp.where(jnp.logical_and(is_ts, below), neg_inf, mask)
+    init_allowed = jnp.logical_and(
+        is_ts, rules.vocab_ids <= rules.ts_begin + rules.max_initial
+    )
+    first = jnp.asarray(gen_count == 0)
+    mask = jnp.where(jnp.logical_and(first, ~init_allowed), neg_inf, mask)
+    logits = logits + mask
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts, logprobs, neg_inf), axis=-1
+    )
+    max_text = jnp.max(jnp.where(is_ts, neg_inf, logprobs), axis=-1)
+    force_sum = ts_logprob > max_text
+    return jnp.where(
+        jnp.logical_and(force_sum[..., None], ~is_ts), neg_inf, logits
+    )
+
+
+def _ts_state_update(
+    next_tok, active, ts_begin: int, last_ts, last_was_ts, penult_was_ts
+):
+    """Advance the per-row grammar state after appending ``next_tok``;
+    inactive (finished) rows keep their state frozen."""
+    next_is_ts = jnp.logical_and(active, next_tok >= ts_begin)
+    last_ts = jnp.where(next_is_ts, next_tok, last_ts)
+    penult_was_ts = jnp.where(
+        active, jnp.logical_and(last_was_ts, next_is_ts), penult_was_ts
+    )
+    last_was_ts = jnp.where(active, next_is_ts, last_was_ts)
+    return last_ts, last_was_ts, penult_was_ts
+
+
+def _ts_state_init(shape, ts_begin: int):
+    return (
+        jnp.full(shape, ts_begin - 1, jnp.int32),  # last_ts: none yet
+        jnp.zeros(shape, bool),                    # last_was_ts
+        jnp.zeros(shape, bool),                    # penult_was_ts
+    )
 
 
 @partial(
@@ -938,40 +1061,25 @@ def greedy_decode_timestamps(
     n_head: int,
     max_new_tokens: int,
     max_initial_timestamp: int = 50,  # 1.0 s at 0.02 s/token
+    sot_pos: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Greedy decode WITH timestamp tokens (openai-whisper timestamp rules,
     ``whisper/decoding.py ApplyTimestampRules``): the prompt omits
     ``no_timestamps``; generation interleaves ``<|t|>`` tokens with text.
-    Rules enforced per batch row inside the loop:
-
-    - the first generated token is a timestamp (capped at
-      ``max_initial_timestamp``)
-    - after a lone timestamp: only a timestamp (its pair) or EOT
-    - after a timestamp pair: text only (no third timestamp)
-    - timestamps are monotonically non-decreasing
-    - when total timestamp probability beats the best text token, a
-      timestamp is forced (whisper's sum-probability rule)
-
-    Host-side segmentation: :func:`split_timestamp_segments`.
+    The grammar lives in :func:`_ts_apply`; host-side segmentation in
+    :func:`split_timestamp_segments`.
     """
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
     t_max = cache.k.shape[2]
-    v = config.n_vocab
     ts_begin = layout.timestamp_begin
     cross_kv = precompute_cross_kv(params, enc_out)
-
-    # base suppression: specials in [sot, ts_begin) except eot stay banned;
-    # timestamp tokens are allowed
-    base = np.zeros(v, np.float32)
-    base[layout.sot:ts_begin] = -np.inf
-    base[layout.eot] = 0.0
-    base_mask = jnp.asarray(base)
-    vocab_ids = jnp.arange(v)
-    is_ts = vocab_ids >= ts_begin
-    is_text = vocab_ids < layout.eot
-    neg_inf = jnp.float32(-jnp.inf)
-    begin_blank = jnp.zeros((v,), jnp.float32).at[BLANK_TOKEN].set(-jnp.inf)
+    rules = _ts_rules(config, max_initial_timestamp)
+    base_mask = jnp.asarray(_ts_base_mask(config))
+    begin_blank = jnp.zeros(
+        (config.n_vocab,), jnp.float32
+    ).at[BLANK_TOKEN].set(-jnp.inf)
+    sot_pos = _sot_pos_arr(sot_pos)
 
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
@@ -983,7 +1091,7 @@ def greedy_decode_timestamps(
                                       n_head, i)
         probs = jax.nn.softmax(logits, axis=-1)
         no_speech_prob = jnp.where(
-            i == 0, probs[:, layout.no_speech], no_speech_prob
+            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
         )
         return cache, no_speech_prob
 
@@ -992,14 +1100,13 @@ def greedy_decode_timestamps(
     )
 
     def cond(state):
-        (_, _, pos, finished, _, _, _, _) = state
+        (_, _, pos, finished, _, _) = state
         return jnp.logical_and(
             pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
         )
 
     def body(state):
-        (tokens, cache, pos, finished, sum_lp,
-         last_ts, last_was_ts, penult_was_ts) = state
+        (tokens, cache, pos, finished, sum_lp, ts_state) = state
         last_tok = jax.lax.dynamic_slice(tokens, (0, pos - 1), (b, 1))[:, 0]
         logits, cache = _decoder_step(
             params, last_tok, pos - 1, cache, cross_kv, n_head, pos - 1
@@ -1007,45 +1114,7 @@ def greedy_decode_timestamps(
         logits = logits + base_mask + jnp.where(
             (pos == prompt_len)[:, None], begin_blank[None, :], 0.0
         )
-
-        first_step = pos == p_len
-        # rule masks, per row
-        ban_ts = jnp.logical_and(last_was_ts, penult_was_ts)      # pair done
-        force_ts = jnp.logical_and(last_was_ts, ~penult_was_ts)   # need pair
-        mask = jnp.zeros((b, v), jnp.float32)
-        mask = jnp.where(
-            jnp.logical_and(ban_ts[:, None], is_ts[None, :]), neg_inf, mask
-        )
-        mask = jnp.where(
-            jnp.logical_and(force_ts[:, None], is_text[None, :]), neg_inf, mask
-        )
-        # monotonic timestamps
-        below_last = vocab_ids[None, :] < last_ts[:, None]
-        mask = jnp.where(
-            jnp.logical_and(is_ts[None, :], below_last), neg_inf, mask
-        )
-        # first generated token must be a timestamp within the initial cap
-        init_allowed = jnp.logical_and(
-            is_ts, vocab_ids <= ts_begin + max_initial_timestamp
-        )
-        mask = jnp.where(
-            jnp.logical_and(first_step, ~init_allowed)[None, :], neg_inf, mask
-        )
-        logits = logits + mask
-
-        # sum-probability rule
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        ts_logprob = jax.nn.logsumexp(
-            jnp.where(is_ts[None, :], logprobs, neg_inf), axis=-1
-        )
-        max_text = jnp.max(
-            jnp.where(is_ts[None, :], neg_inf, logprobs), axis=-1
-        )
-        force_sumprob = ts_logprob > max_text
-        logits = jnp.where(
-            jnp.logical_and(force_sumprob[:, None], ~is_ts[None, :]),
-            neg_inf, logits,
-        )
+        logits = _ts_apply(rules, logits, *ts_state, gen_count=pos - p_len)
 
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -1054,25 +1123,18 @@ def greedy_decode_timestamps(
         sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
         tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None], (0, pos))
 
-        next_is_ts = jnp.logical_and(~finished, next_tok >= ts_begin)
-        last_ts = jnp.where(next_is_ts, next_tok, last_ts)
-        penult_was_ts = jnp.where(finished, penult_was_ts,
-                                  jnp.logical_and(last_was_ts, next_is_ts))
-        last_was_ts = jnp.where(finished, last_was_ts, next_is_ts)
+        ts_state = _ts_state_update(next_tok, ~finished, ts_begin, *ts_state)
         finished = jnp.logical_or(finished, next_tok == layout.eot)
-        return (tokens, cache, pos + 1, finished, sum_lp,
-                last_ts, last_was_ts, penult_was_ts)
+        return (tokens, cache, pos + 1, finished, sum_lp, ts_state)
 
     init = (
         tokens, cache,
         jnp.asarray(p_len, jnp.int32),
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.float32),
-        jnp.full((b,), ts_begin, jnp.int32),
-        jnp.zeros((b,), bool),
-        jnp.zeros((b,), bool),
+        _ts_state_init((b,), ts_begin),
     )
-    (tokens, cache, pos, finished, sum_lp, _, _, _) = jax.lax.while_loop(
+    (tokens, cache, pos, finished, sum_lp, _) = jax.lax.while_loop(
         cond, body, init
     )
     is_eot = jnp.logical_and(
@@ -1137,6 +1199,7 @@ def _beam_decode_pooled(
     layout, suppress, begin, seen0, rep_penalty, b: int, k: int,
     p_len: int, t_max: int, v: int, n_head: int, max_new_tokens: int,
     max_candidates: int, length_penalty: float = 1.0, ngram_n: int = 0,
+    ts_rules: Optional[_TsRules] = None,
 ) -> DecodeResult:
     """Patience > 1 beam search: finished hypotheses are banked into a
     fixed-size per-row candidate pool (best ``max_candidates`` by sum
@@ -1159,12 +1222,12 @@ def _beam_decode_pooled(
         return n_fin >= c
 
     def cond(state):
-        _, _, _, pos, pool_lp, _, _, _ = state
+        _, _, _, pos, pool_lp, _, _, _, _ = state
         return jnp.logical_and(pos < limit, ~jnp.all(pool_full(pool_lp)))
 
     def body(state):
         (tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len,
-         seen) = state
+         seen, ts_state) = state
         last_tok = jax.lax.dynamic_slice(
             tokens, (0, 0, pos - 1), (b, k, 1)
         ).reshape(bk)
@@ -1182,6 +1245,10 @@ def _beam_decode_pooled(
         logits = (logits + suppress) + jnp.where(
             pos == p_len, begin[None, None, :], 0.0
         )
+        if ts_rules is not None:
+            logits = _ts_apply(
+                ts_rules, logits, *ts_state, gen_count=pos - p_len
+            )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         cand = sum_lp[:, :, None] + logprobs            # (B, K, V)
         top_vals, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k2)
@@ -1228,6 +1295,13 @@ def _beam_decode_pooled(
             seen = seen.at[
                 jnp.arange(b)[:, None], jnp.arange(k)[None, :], live_tok
             ].max(live_tok < layout.eot)
+        ts_state = jax.tree.map(
+            lambda s: jnp.take_along_axis(s, live_parent, axis=1), ts_state
+        )
+        ts_state = _ts_state_update(
+            live_tok, jnp.ones((b, k), bool), layout.timestamp_begin,
+            *ts_state,
+        )
 
         def reorder_cache(x):  # (L, B*K, T, d)
             l, _, t, d = x.shape
@@ -1239,13 +1313,14 @@ def _beam_decode_pooled(
 
         cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
         return (tokens, cache, sum_lp, pos + 1, pool_lp, pool_tokens,
-                pool_len, seen)
+                pool_len, seen, ts_state)
 
     init = (
         tokens, cache, sum_lp, jnp.asarray(p_len, jnp.int32),
         pool_lp, pool_tokens, pool_len, seen0,
+        _ts_state_init((b, k), layout.timestamp_begin),
     )
-    (tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len, _) = (
+    (tokens, cache, sum_lp, pos, pool_lp, pool_tokens, pool_len, _, _) = (
         jax.lax.while_loop(cond, body, init)
     )
 
@@ -1281,7 +1356,7 @@ def _beam_decode_pooled(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config", "beam_size",
                      "patience", "length_penalty", "suppress_blank",
-                     "ngram_n"),
+                     "ngram_n", "with_timestamps", "max_initial_timestamp"),
     donate_argnames=("cache",),
 )
 def beam_decode(
@@ -1299,15 +1374,24 @@ def beam_decode(
     suppress_blank: bool = True,
     rep_penalty: Optional[jnp.ndarray] = None,
     ngram_n: int = 0,
+    with_timestamps: bool = False,
+    max_initial_timestamp: int = 50,
+    sot_pos: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Fixed-width batched beam search in a ``lax.while_loop``.
 
     Parity target: the reference's faster_whisper `accurate` profile uses
     CTranslate2 beam search (``stt_server/model/backends/faster_whisper.py``,
-    ``config/model.yaml`` accurate profile beam_size=5); mlx_whisper drops
-    beam options — this build must not. Final hypothesis selection follows
-    openai-whisper's default: highest sum-logprob / length among finished
-    beams (falling back to all beams when none finished).
+    ``config/model.yaml`` accurate profile beam_size=5) — with timestamps ON
+    by default; mlx_whisper drops beam options — this build must not. Final
+    hypothesis selection follows openai-whisper's default: highest
+    sum-logprob / length among finished beams (falling back to all beams
+    when none finished).
+
+    ``with_timestamps`` applies the openai timestamp grammar
+    (:func:`_ts_apply`) per beam, so `accurate` + timestamps keeps its
+    beam width instead of silently downgrading to greedy. The prompt must
+    then omit ``no_timestamps``.
 
     enc_out: (B, T_a, d); prompt: (B, P); cache must be sized for
     ``B * beam_size`` rows. Returns the best beam per batch row in the
@@ -1323,11 +1407,21 @@ def beam_decode(
     # replicate encoder states / prompts across beams: row order (B, K)
     enc_bk = jnp.repeat(enc_out, k, axis=0)            # (B*K, T_a, d)
     cross_kv = precompute_cross_kv(params, enc_bk)
-    suppress = jnp.asarray(_suppress_mask(config, True))
-    begin = jnp.asarray(
-        _sample_begin_mask(config) if suppress_blank
-        else np.zeros(config.n_vocab, np.float32)
-    )
+    if with_timestamps:
+        ts_rules = _ts_rules(config, max_initial_timestamp)
+        suppress = jnp.asarray(_ts_base_mask(config))
+        begin = (
+            jnp.zeros((v,), jnp.float32).at[BLANK_TOKEN].set(-jnp.inf)
+            if suppress_blank else jnp.zeros((v,), jnp.float32)
+        )
+    else:
+        ts_rules = None
+        suppress = jnp.asarray(_suppress_mask(config, True))
+        begin = jnp.asarray(
+            _sample_begin_mask(config) if suppress_blank
+            else np.zeros(config.n_vocab, np.float32)
+        )
+    sot_pos = _sot_pos_arr(sot_pos)
 
     tokens = jnp.full((b, k, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -1344,7 +1438,7 @@ def beam_decode(
         )
         probs = jax.nn.softmax(logits, axis=-1)
         no_speech_prob = jnp.where(
-            i == 0, probs.reshape(b, k, v)[:, 0, layout.no_speech],
+            i == sot_pos, probs.reshape(b, k, v)[:, 0, layout.no_speech],
             no_speech_prob,
         )
         return cache, no_speech_prob
@@ -1382,7 +1476,7 @@ def beam_decode(
             params, cross_kv, tokens, cache, sum_lp, no_speech_prob,
             layout, suppress, begin, seen0, rep_penalty, b, k, p_len,
             t_max, v, n_head, max_new_tokens, max_candidates,
-            length_penalty, ngram_n,
+            length_penalty, ngram_n, ts_rules,
         )
     finished = jnp.zeros((b, k), bool)
 
@@ -1390,13 +1484,13 @@ def beam_decode(
     eot_only = jnp.full((v,), neg_inf, jnp.float32).at[layout.eot].set(0.0)
 
     def cond(state):
-        _, _, _, pos, finished, _ = state
+        _, _, _, pos, finished, _, _ = state
         return jnp.logical_and(
             pos < min(p_len + max_new_tokens, t_max), ~jnp.all(finished)
         )
 
     def body(state):
-        tokens, cache, sum_lp, pos, finished, seen = state
+        tokens, cache, sum_lp, pos, finished, seen, ts_state = state
         last_tok = jax.lax.dynamic_slice(
             tokens, (0, 0, pos - 1), (b, k, 1)
         ).reshape(bk)
@@ -1414,6 +1508,10 @@ def beam_decode(
         logits = (logits + suppress) + jnp.where(
             (pos == prompt_len)[:, None, None], begin[None, None, :], 0.0
         )
+        if ts_rules is not None:
+            logits = _ts_apply(
+                ts_rules, logits, *ts_state, gen_count=pos - p_len
+            )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         step_lp = jnp.where(finished[:, :, None], eot_only[None, None, :],
                             logprobs)
@@ -1433,6 +1531,12 @@ def beam_decode(
             seen = seen.at[
                 jnp.arange(b)[:, None], jnp.arange(k)[None, :], new_tok
             ].max(new_tok < layout.eot)
+        ts_state = jax.tree.map(
+            lambda s: jnp.take_along_axis(s, parent, axis=1), ts_state
+        )
+        ts_state = _ts_state_update(
+            new_tok, ~finished, layout.timestamp_begin, *ts_state
+        )
         new_tok_is_eot = new_tok == layout.eot
         finished = jnp.logical_or(finished, new_tok_is_eot)
 
@@ -1445,15 +1549,16 @@ def beam_decode(
             return x.reshape(l, bk, t, d)
 
         cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
-        return tokens, cache, top_vals, pos + 1, finished, seen
+        return tokens, cache, top_vals, pos + 1, finished, seen, ts_state
 
     init = (
         tokens, cache, sum_lp,
         jnp.asarray(p_len, jnp.int32),
         finished,
         seen0,
+        _ts_state_init((b, k), layout.timestamp_begin),
     )
-    tokens, cache, sum_lp, pos, finished, _ = jax.lax.while_loop(
+    tokens, cache, sum_lp, pos, finished, _, _ = jax.lax.while_loop(
         cond, body, init
     )
 

@@ -495,6 +495,152 @@ def test_clip_timestamps_masks_audio(engine):
     assert none_left.info.language == "en"  # still decodes (near-silence)
 
 
+def test_group_key_splits_on_fallback_policy():
+    """VERDICT weak #3: two sessions with equal shapes but different
+    temperature ladders / best_of / prompt_reset must NOT share a batch —
+    the group key carries the whole fallback policy."""
+    from stt_tpu.engine.engine import _Task
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32")
+    key = lambda opts: eng._group_key(_Task(_req(options=opts), None))
+    base = key({"temperature": [0.0, 0.5]})
+    assert key({"temperature": [0.0, 0.5]}) == base
+    assert key({"temperature": [0.0, 0.7]}) != base
+    assert key({"temperature": [0.0, 0.5], "best_of": 3}) != base
+    assert key(
+        {"temperature": [0.0, 0.5], "prompt_reset_on_temperature": 0.2}
+    ) != base
+    # shape axes still split as before
+    assert eng._group_key(_Task(_req(dur=1.8), None)) != (
+        eng._group_key(_Task(_req(dur=0.5), None))
+    )
+    eng.close()
+
+
+def test_accurate_with_timestamps_keeps_beam():
+    """beam_size>1 + timestamps no longer silently downgrades to greedy:
+    the group key keeps beam=5 and the decode completes through the
+    timestamp-aware beam search."""
+    from stt_tpu.engine.engine import _Task
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    opts = {"beam_size": 5, "without_timestamps": False}
+    key = eng._group_key(_Task(_req(options=opts), None))
+    # key layout: (bucket, p_len, ctx_len, beam, with_ts, ...)
+    assert key[3] == 5 and key[4] is True
+    out = eng.transcribe_sync(_req(seed=31, options=opts))
+    for seg in out.segments:
+        assert 0.0 <= seg.start <= seg.end <= 0.8 + 1e-6
+    eng.close()
+
+
+def test_long_final_runs_seek_loop_not_truncation():
+    """VERDICT missing #1: a final longer than the largest bucket must be
+    decoded in FULL via the sequential seek loop — before this fix the
+    engine silently kept only the trailing window."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0, 2.0), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    window_lens = []
+    orig = eng._run_group_inner
+
+    def spy(group, already_running=False):
+        window_lens.append(len(group[0].request.audio))
+        return orig(group, already_running)
+
+    eng._run_group_inner = spy
+    rng = np.random.default_rng(40)
+    audio = (0.1 * rng.standard_normal(5 * 16000)).astype(np.float32)  # 5 s
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=True,
+    ))
+    # 2s + 2s + 1s windows: every sample decoded, none over the max bucket
+    assert len(window_lens) >= 3
+    assert sum(window_lens) >= len(audio)
+    assert max(window_lens) <= 2 * 16000
+    assert out.batch_rows == 1
+    # segment times are global over the full audio
+    for seg in out.segments:
+        assert 0.0 <= seg.start <= seg.end <= 5.0 + 1e-6
+    eng.close()
+
+
+def test_long_final_conditions_next_window():
+    """condition_on_previous_text feeds each window's transcript into the
+    next window's conditioning prefix; the user's initial_prompt always
+    leads it (CT2/openai seek-loop semantics)."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    prompts_seen = []
+    orig = eng._run_group_inner
+
+    def spy(group, already_running=False):
+        prompts_seen.append(
+            group[0].request.options.get("initial_prompt", "")
+        )
+        return orig(group, already_running)
+
+    eng._run_group_inner = spy
+    rng = np.random.default_rng(41)
+    audio = (0.1 * rng.standard_normal(3 * 16000)).astype(np.float32)
+    eng.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=True,
+        options={"initial_prompt": "seed words"},
+    ))
+    assert len(prompts_seen) == 3
+    assert all(p.startswith("seed words") for p in prompts_seen)
+
+    # with conditioning OFF, later windows carry only the base prompt
+    prompts_seen.clear()
+    eng.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=True,
+        options={"initial_prompt": "seed words",
+                 "condition_on_previous_text": False},
+    ))
+    assert prompts_seen == ["seed words"] * 3
+    eng.close()
+
+
+def test_long_partial_keeps_trailing_window():
+    """Streaming partials over the max bucket keep the newest audio
+    (live-caption semantics) — only finals run the seek loop."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    rng = np.random.default_rng(42)
+    audio = (0.1 * rng.standard_normal(3 * 16000)).astype(np.float32)
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=False,
+    ))
+    # one window, clamped to the bucket
+    assert out.batch_rows == 1
+    for seg in out.segments:
+        assert seg.end <= 1.0 + 1e-6
+    eng.close()
+
+
+def test_long_final_timestamp_mode_global_times():
+    """Timestamp mode across seek windows: segment times are globally
+    offset and monotonic over the whole audio."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    rng = np.random.default_rng(43)
+    audio = (0.1 * rng.standard_normal(3 * 16000)).astype(np.float32)
+    out = eng.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=True,
+        options={"without_timestamps": False},
+    ))
+    starts = [s.start for s in out.segments]
+    assert starts == sorted(starts)
+    for seg in out.segments:
+        assert 0.0 <= seg.start <= seg.end <= 3.0 + 1e-6
+    eng.close()
+
+
 def test_clip_ranges_parser():
     from stt_tpu.engine.engine import DecodeRequest, _clip_ranges_of
     import numpy as np

@@ -275,6 +275,140 @@ def test_timestamp_decode_obeys_grammar():
             assert run <= 2
 
 
+def test_timestamp_initial_lone_ts_followed_by_text():
+    """openai convention: with <2 generated tokens the penultimate counts
+    as a timestamp, so the forced initial <|t|> is followed by TEXT —
+    never forced into an immediate pair."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import greedy_decode_timestamps, init_kv_cache
+
+    config, layout, params, enc, prompt = _ts_setup()
+    cache = init_kv_cache(config, 2, 40)
+    res = greedy_decode_timestamps(
+        params, enc, prompt, jnp.full((2,), 3, jnp.int32), cache,
+        config, config.n_text_head, max_new_tokens=30,
+    )
+    toks = np.asarray(res.tokens)
+    ts_begin = layout.timestamp_begin
+    for row in range(2):
+        gen = [int(t) for t in toks[row, 3:int(res.lengths[row])]]
+        assert gen[0] >= ts_begin
+        if len(gen) > 1:
+            assert gen[1] < ts_begin, (
+                "second generated token must be text/eot, not a timestamp"
+            )
+
+
+def test_beam_timestamp_grammar():
+    """beam search with with_timestamps=True obeys the same timestamp
+    grammar as the greedy timestamp decoder (VERDICT: accurate profile +
+    timestamps must not silently downgrade to greedy)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import beam_decode, init_kv_cache
+
+    config, layout, params, enc, prompt = _ts_setup()
+    k = 2
+    cache = init_kv_cache(config, 2 * k, 40)
+    res = beam_decode(
+        params, enc, prompt, jnp.full((2,), 3, jnp.int32), cache,
+        config, config.n_text_head, max_new_tokens=30, beam_size=k,
+        with_timestamps=True,
+    )
+    toks = np.asarray(res.tokens)
+    ts_begin = layout.timestamp_begin
+    for row in range(2):
+        gen = [int(t) for t in toks[row, 3:int(res.lengths[row])]]
+        assert gen, "no tokens generated"
+        # first generated token is a timestamp within the 1s initial cap
+        assert ts_begin <= gen[0] <= ts_begin + 50
+        # monotonic timestamps; never three in a row; lone initial ts
+        ts_seen = [t for t in gen if t >= ts_begin]
+        assert ts_seen == sorted(ts_seen)
+        run = 0
+        for t in gen:
+            run = run + 1 if t >= ts_begin else 0
+            assert run <= 2
+        if len(gen) > 1:
+            assert gen[1] < ts_begin
+
+
+def test_beam_pooled_timestamp_grammar():
+    """patience > 1 (the pooled beam variant) keeps the timestamp grammar."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import beam_decode, init_kv_cache
+
+    config, layout, params, enc, prompt = _ts_setup(seed=23)
+    k = 2
+    cache = init_kv_cache(config, 2 * k, 40)
+    res = beam_decode(
+        params, enc, prompt, jnp.full((2,), 3, jnp.int32), cache,
+        config, config.n_text_head, max_new_tokens=30, beam_size=k,
+        patience=2.0, with_timestamps=True,
+    )
+    toks = np.asarray(res.tokens)
+    ts_begin = layout.timestamp_begin
+    for row in range(2):
+        gen = [int(t) for t in toks[row, 3:int(res.lengths[row])]]
+        assert gen
+        assert gen[0] >= ts_begin
+        ts_seen = [t for t in gen if t >= ts_begin]
+        assert ts_seen == sorted(ts_seen)
+        run = 0
+        for t in gen:
+            run = run + 1 if t >= ts_begin else 0
+            assert run <= 2
+
+
+def test_no_speech_prob_captured_at_sot_position():
+    """whisper reads p(no_speech) from the logits produced AT the sot
+    position; with a conditioning prefix ([sot_prev] + tokens) that is
+    position len(ctx), not 0 (VERDICT weak #4). Oracle: the teacher-forced
+    decoder's softmax at the sot index."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from stt_tpu.models.whisper import (
+        decoder_forward, encode, get_config, greedy_decode, init_kv_cache,
+        init_params, token_layout,
+    )
+
+    config = get_config("test")
+    layout = token_layout(config.n_vocab)
+    params = init_params(config, seed=9)
+    rng = np.random.default_rng(9)
+    mel = jnp.asarray(rng.normal(0, 1, (1, config.n_mels, 100)), jnp.float32)
+    enc = encode(params, mel, config.n_audio_head)
+    # conditioned prompt: [sot_prev, ctx_tok, sot, lang, task, no_ts]
+    prompt = jnp.asarray([[
+        layout.sot_prev, 123, layout.sot, layout.lang_begin,
+        layout.transcribe, layout.no_timestamps,
+    ]], jnp.int32)
+    plen = jnp.full((1,), 6, jnp.int32)
+    sot_pos = 2
+
+    oracle_logits = decoder_forward(params, prompt, enc, config.n_text_head)
+    expected = jax.nn.softmax(oracle_logits[:, sot_pos], axis=-1)[
+        :, layout.no_speech
+    ]
+    wrong_pos = jax.nn.softmax(oracle_logits[:, 0], axis=-1)[
+        :, layout.no_speech
+    ]
+
+    res = greedy_decode(
+        params, enc, prompt, plen, init_kv_cache(config, 1, 24), config,
+        config.n_text_head, 12, sot_pos=jnp.int32(sot_pos),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.no_speech_prob), np.asarray(expected), atol=1e-4
+    )
+    # the two positions genuinely differ on this model — the old hardcoded
+    # i == 0 capture would have returned wrong_pos
+    assert abs(float(expected[0]) - float(wrong_pos[0])) > 1e-9
+
+
 def test_split_timestamp_segments():
     from stt_tpu.models.whisper import (
         get_config, split_timestamp_segments, token_layout,
