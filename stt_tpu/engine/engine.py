@@ -459,7 +459,11 @@ class WhisperEngine:
             self.params = jax.device_put(params, self._device)
         jax.block_until_ready(self.params)
         self.load_seconds = time.monotonic() - t0
-        self.tokenizer = load_tokenizer(tokenizer_path, config.n_vocab)
+        # HF checkpoints ship their tokenizer files alongside the weights,
+        # so the weights dir doubles as the tokenizer search path
+        self.tokenizer = load_tokenizer(
+            tokenizer_path or weights_path, config.n_vocab
+        )
         self.layout = W.token_layout(config.n_vocab)
 
         if pad_to_30s:

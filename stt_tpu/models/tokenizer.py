@@ -1,11 +1,28 @@
-"""Whisper text tokenizer: byte-level BPE with a hermetic fallback.
+"""Whisper text tokenizer: every local vocab format, with a hermetic fallback.
 
-Real checkpoints pair with a GPT-2-style byte-level BPE (``vocab.json`` +
-``merges.txt`` in an HF tokenizer directory). In a zero-egress build those
-files may be absent, so :class:`FallbackTokenizer` provides a deterministic
-id<->text mapping good enough for every control-plane behavior the server
-tests (commit/unstable prefix logic, transcript plumbing, logging): ids map
-to stable pseudo-words, so equal token ids always produce equal text.
+Real checkpoints pair with a byte-level BPE vocabulary shipped in one of
+three formats, all loaded first-party here (zero egress at serve time):
+
+1. **HF ``tokenizer.json``** (tokenizers fast format) — present in every
+   HF whisper checkpoint directory; loaded via the local ``tokenizers``
+   runtime (:class:`HFTokenizer`).
+2. **``vocab.json`` + ``merges.txt``** (HF slow format) — pure-python
+   byte-level BPE (:class:`BPETokenizer`).
+3. **``*.tiktoken`` rank tables** (openai-whisper assets format:
+   ``base64(token_bytes) rank`` per line, e.g. ``multilingual.tiktoken`` /
+   ``gpt2.tiktoken``) — loaded into a local ``tiktoken.Encoding`` with
+   whisper's split pattern (:class:`TiktokenTokenizer`).
+
+When the engine gets a ``weights_path`` the checkpoint directory itself is
+searched for these files, so a standard HF whisper checkpoint "just works".
+The vocab is learned DATA that cannot be synthesized, so in a zero-egress
+build without any checkpoint :class:`FallbackTokenizer` provides a
+deterministic id<->text mapping good enough for every control-plane behavior
+the server tests (commit/unstable prefix logic, transcript plumbing,
+logging): ids map to stable pseudo-words, so equal token ids always produce
+equal text. Accuracy-on-real-weights is asserted by the env-gated test
+(``tests/test_integration_backends.py::test_real_weights_accuracy``, the
+analogue of reference ``tests/test_integration_backends.py:28-133``).
 
 The reference delegates tokenization to its backends (faster-whisper /
 openai-whisper internals); here it is first-party because the decode loop is
@@ -14,12 +31,23 @@ first-party.
 
 from __future__ import annotations
 
+import base64
+import glob
 import json
+import logging
 import os
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence
 
 from .whisper import TokenLayout, token_layout
+
+LOGGER = logging.getLogger("stt_tpu")
+
+# openai-whisper's regex split pattern (whisper/tokenizer.py get_encoding)
+_WHISPER_PAT = (
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+    r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+)
 
 
 @lru_cache()
@@ -111,6 +139,65 @@ class BPETokenizer:
         return data.decode("utf-8", errors="replace")
 
 
+class HFTokenizer:
+    """HF fast-format ``tokenizer.json`` via the local ``tokenizers``
+    runtime — the file every HF whisper checkpoint directory ships."""
+
+    def __init__(self, path: str, n_vocab: int):
+        from tokenizers import Tokenizer
+
+        self.layout: TokenLayout = token_layout(n_vocab)
+        self._tok = Tokenizer.from_file(path)
+
+    def encode(self, text: str) -> List[int]:
+        return self._tok.encode(text, add_special_tokens=False).ids
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        ids = [int(t) for t in tokens if int(t) < self.layout.eot]
+        return self._tok.decode(ids)
+
+
+class TiktokenTokenizer:
+    """openai-whisper assets format: a ``base64(token_bytes) rank`` line
+    per mergeable token (``multilingual.tiktoken``/``gpt2.tiktoken``),
+    loaded into a local ``tiktoken.Encoding`` with whisper's split
+    pattern. Specials occupy ids [len(ranks), n_vocab) exactly as
+    openai-whisper appends them; we only ever encode/decode text ids, so
+    their names are immaterial."""
+
+    def __init__(self, path: str, n_vocab: int):
+        import tiktoken
+
+        self.layout: TokenLayout = token_layout(n_vocab)
+        ranks: Dict[bytes, int] = {}
+        with open(path, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                token_b64, rank = line.split()
+                ranks[base64.b64decode(token_b64)] = int(rank)
+        n_base = len(ranks)
+        specials = {
+            f"<|special_{i}|>": n_base + i
+            for i in range(max(0, n_vocab - n_base))
+        }
+        self._enc = tiktoken.Encoding(
+            name=os.path.basename(path),
+            explicit_n_vocab=max(n_vocab, n_base),
+            pat_str=_WHISPER_PAT,
+            mergeable_ranks=ranks,
+            special_tokens=specials,
+        )
+
+    def encode(self, text: str) -> List[int]:
+        return self._enc.encode(text, disallowed_special=())
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        ids = [int(t) for t in tokens if int(t) < self.layout.eot]
+        return self._enc.decode(ids, errors="replace")
+
+
 _CONSONANTS = "bcdfghjklmnpqrstvwz"
 _VOWELS = "aeiou"
 
@@ -158,10 +245,48 @@ class FallbackTokenizer:
 
 
 def load_tokenizer(path: Optional[str], n_vocab: int):
-    """BPE tokenizer from a local dir when present, else the fallback."""
-    if path and os.path.exists(os.path.join(path, "vocab.json")):
-        return BPETokenizer.from_dir(path, n_vocab)
+    """Real tokenizer from a local file/dir when present, else the fallback.
+
+    ``path`` may be a directory (an HF checkpoint or tokenizer dir — the
+    usual case, searched in preference order: tokenizer.json,
+    vocab.json+merges.txt, ``*.tiktoken``) or a direct path to a
+    ``tokenizer.json`` / ``*.tiktoken`` file. Any load failure falls back
+    rather than taking the server down — the fallback keeps every
+    control-plane behavior working, only transcript text from real
+    weights would be approximate (and that is loudly logged).
+    """
+    try:
+        if path and os.path.isfile(path):
+            if path.endswith(".tiktoken"):
+                return TiktokenTokenizer(path, n_vocab)
+            if path.endswith(".json"):
+                return HFTokenizer(path, n_vocab)
+        elif path and os.path.isdir(path):
+            fast = os.path.join(path, "tokenizer.json")
+            if os.path.exists(fast):
+                return HFTokenizer(fast, n_vocab)
+            if os.path.exists(os.path.join(path, "vocab.json")) and (
+                os.path.exists(os.path.join(path, "merges.txt"))
+            ):
+                return BPETokenizer.from_dir(path, n_vocab)
+            tk = sorted(glob.glob(os.path.join(path, "*.tiktoken")))
+            if tk:
+                return TiktokenTokenizer(tk[0], n_vocab)
+    except Exception:
+        LOGGER.exception("tokenizer load failed for %r; using fallback", path)
+    if path:
+        LOGGER.warning(
+            "no tokenizer vocab found under %r; using the byte-fallback "
+            "tokenizer (transcripts from real weights will be approximate)",
+            path,
+        )
     return FallbackTokenizer(n_vocab)
 
 
-__all__ = ["BPETokenizer", "FallbackTokenizer", "load_tokenizer"]
+__all__ = [
+    "BPETokenizer",
+    "FallbackTokenizer",
+    "HFTokenizer",
+    "TiktokenTokenizer",
+    "load_tokenizer",
+]

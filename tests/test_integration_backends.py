@@ -116,6 +116,60 @@ def test_jax_whisper_resample_path(jax_server):
     channel.close()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("STT_WEIGHTS_DIR"),
+    reason="real-weights accuracy gate: set STT_WEIGHTS_DIR to an HF "
+           "whisper checkpoint dir (and optionally STT_SPEECH_FIXTURE="
+           "path.wav + STT_FIXTURE_TEXT='expected words')",
+)
+def test_real_weights_accuracy():
+    """Accuracy gate on a genuine checkpoint (reference
+    tests/test_integration_backends.py:28-133 decodes hello.wav per
+    backend and asserts transcript tolerance). Zero-egress CI skips this;
+    any deployment with real weights must pass it:
+
+        STT_WEIGHTS_DIR=/path/to/whisper-tiny \\
+        STT_SPEECH_FIXTURE=/path/to/hello.wav \\
+        STT_FIXTURE_TEXT='hello' pytest tests/test_integration_backends.py \\
+            -k real_weights
+
+    Without a speech fixture it still asserts the checkpoint loads with a
+    REAL tokenizer (not the byte-fallback) and that decoding runs.
+    """
+    import wave
+
+    from stt_tpu.backends.jax_whisper import JaxWhisperBackend
+    from stt_tpu.models.tokenizer import FallbackTokenizer
+
+    weights = os.environ["STT_WEIGHTS_DIR"]
+    backend = JaxWhisperBackend(
+        "tiny", "cpu", "float32", weights_path=weights,
+        audio_buckets_sec=(30.0,), batch_buckets=(1,),
+    )
+    try:
+        assert not isinstance(backend.engine.tokenizer, FallbackTokenizer), (
+            "checkpoint dir has no tokenizer files - transcripts would be "
+            "approximate"
+        )
+        fixture = os.environ.get("STT_SPEECH_FIXTURE")
+        if fixture:
+            with wave.open(fixture, "rb") as w:
+                assert w.getframerate() == 16000 and w.getnchannels() == 1
+                pcm = np.frombuffer(
+                    w.readframes(w.getnframes()), np.int16
+                )
+            audio = pcm.astype(np.float32) / 32768.0
+        else:
+            audio = np.zeros(16000, np.float32)
+        segments, info = backend.transcribe(audio, {"language": "en"})
+        expected = os.environ.get("STT_FIXTURE_TEXT", "").strip().lower()
+        if expected:
+            text = " ".join(s.text for s in segments).strip().lower()
+            assert expected in text, f"expected {expected!r} in {text!r}"
+    finally:
+        backend.close()
+
+
 def test_serving_from_hf_checkpoint_dir(tmp_path):
     """weights_path loading through the real server: export an HF-format
     checkpoint, boot a server on it, decode."""
