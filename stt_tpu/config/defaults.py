@@ -62,6 +62,13 @@ DEFAULT_VAD_MODEL_POOL_SIZE = DEFAULT_MAX_SESSIONS
 DEFAULT_VAD_MODEL_PREWARM = 1
 DEFAULT_VAD_MODEL_POOL_GROWTH_FACTOR = 1.5
 DEFAULT_SPEECH_RMS_THRESHOLD = 0.02
+# where VAD frames are scored: "auto" = one jitted cross-session batch per
+# tick on non-CPU servers, host numpy on CPU; "host" forces numpy;
+# "device" forces the batched path everywhere
+DEFAULT_VAD_DEVICE = "auto"
+# optional local Silero-VAD ONNX file (learned VAD; probability scale
+# differs from the built-in DSP VAD - re-tune vad_threshold on switch)
+DEFAULT_VAD_MODEL_PATH = None
 
 # --- TLS / auth -------------------------------------------------------------
 DEFAULT_TLS_CERT_FILE = None
@@ -250,6 +257,8 @@ SERVER_SECTION_MAP: Dict[str, Dict[str, str]] = {
         "model_pool_size": "vad_model_pool_size",
         "model_prewarm": "vad_model_prewarm",
         "model_pool_growth_factor": "vad_model_pool_growth_factor",
+        "device": "vad_device",
+        "model_path": "vad_model_path",
     },
     "safety": {
         "speech_rms_threshold": "speech_rms_threshold",

@@ -98,6 +98,8 @@ class ServerConfig:
     vad_model_pool_size: int = d.DEFAULT_VAD_MODEL_POOL_SIZE
     vad_model_prewarm: int = d.DEFAULT_VAD_MODEL_PREWARM
     vad_model_pool_growth_factor: float = d.DEFAULT_VAD_MODEL_POOL_GROWTH_FACTOR
+    vad_device: str = d.DEFAULT_VAD_DEVICE
+    vad_model_path: Optional[str] = d.DEFAULT_VAD_MODEL_PATH
     speech_rms_threshold: float = d.DEFAULT_SPEECH_RMS_THRESHOLD
 
     # adaptive throttle

@@ -33,10 +33,26 @@ from ...utils.logging import LOGGER
 
 
 class VadSession:
-    """Per-stream streaming scorer state (the pool's 'model instance')."""
+    """Per-stream streaming scorer state (the pool's 'model instance').
 
-    def __init__(self, params: Optional[vad_ops.VadParams] = None) -> None:
+    With a shared :class:`~stt_tpu.server.component.vad_scorer.
+    BatchedVadScorer` attached (TPU servers), scoring routes through ONE
+    jitted cross-session batch per tick; otherwise (CPU servers, tests,
+    scorer failure) the identical math runs as per-session numpy — the
+    two paths are bit-compatible (``tests/test_vad.py`` parity tests), so
+    tuned ``vad_threshold`` values transfer unchanged.
+    """
+
+    def __init__(
+        self,
+        params: Optional[vad_ops.VadParams] = None,
+        scorer=None,
+    ) -> None:
         self.params = params or vad_ops.VadParams()
+        # the batched scorer compiles the default-params program only
+        self._scorer = (
+            scorer if self.params == vad_ops.VadParams() else None
+        )
         self.state = vad_ops.init_state(np, self.params)
 
     def reset(self) -> None:
@@ -44,6 +60,9 @@ class VadSession:
 
     def score(self, frames: np.ndarray) -> np.ndarray:
         """frames (F, 512) -> probabilities (F,)."""
+        if self._scorer is not None and self._scorer.healthy:
+            probs, self.state = self._scorer.score(frames, self.state)
+            return np.asarray(probs)
         probs, self.state = vad_ops.vad_step(np, frames, self.state, self.params)
         return probs
 
@@ -64,6 +83,40 @@ class VADModelPool:
         self._reserved = 0
         self._free: list = []
         self._total_created = 0
+        self._scorer = None          # shared BatchedVadScorer (TPU servers)
+        self._silero_path: Optional[str] = None
+        self._silero_model = None    # lazily-loaded shared Silero pytree
+
+    def set_scorer(self, scorer) -> None:
+        """Attach a shared cross-session batched scorer; sessions created
+        from here on route their frame scoring through it."""
+        with self._lock:
+            self._scorer = scorer
+            for session in self._free:
+                if isinstance(session, VadSession):
+                    session._scorer = scorer
+
+    def set_silero_model(self, path: Optional[str]) -> None:
+        """Use a learned Silero VAD loaded from a local ONNX file instead
+        of the DSP scorer (reference loads Silero ONNX/TorchScript,
+        ``stt_server/backend/component/vad_gate.py:235-247``). NOTE:
+        Silero probability scales differ from the DSP VAD's — re-tune
+        ``vad_threshold`` when switching (Silero's own default is 0.5,
+        same as ours, but the distributions are not identical)."""
+        with self._lock:
+            self._silero_path = path or None
+            self._silero_model = None
+            if self._silero_path:
+                self._free.clear()
+
+    def _new_session(self):
+        if self._silero_path:
+            from ...ops.silero import SileroVad, SileroVadSession
+
+            if self._silero_model is None:
+                self._silero_model = SileroVad.from_onnx(self._silero_path)
+            return SileroVadSession(self._silero_model)
+        return VadSession(scorer=self._scorer)
 
     def configure(
         self,
@@ -95,7 +148,7 @@ class VADModelPool:
             del self._free[self._capacity:]
             target = min(prewarm, self._capacity)
             while len(self._free) < target:
-                self._free.append(VadSession())
+                self._free.append(self._new_session())
                 self._total_created += 1
 
     def reserve_slot(self) -> bool:
@@ -123,7 +176,7 @@ class VADModelPool:
             if self._capacity > 0 and self._reserved > 0:
                 self._reserved -= 1
 
-    def acquire_model(self) -> VadSession:
+    def acquire_model(self):
         with self._lock:
             if self._capacity > 0 and self._free:
                 session = self._free.pop()
@@ -133,7 +186,7 @@ class VADModelPool:
                 if self._total_created >= self._capacity:
                     LOGGER.warning("VAD pool capacity exceeded; overflow instance")
                 self._total_created += 1
-        return VadSession()
+            return self._new_session()
 
     def release_model(self, session: VadSession) -> None:
         with self._lock:

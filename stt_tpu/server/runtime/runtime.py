@@ -84,6 +84,23 @@ class ApplicationRuntime:
         self.default_decode_profile = default_profile
 
         self.vad_model_pool = VADModelPool()
+        self._vad_scorer = None
+        if config.vad_model_path:
+            # learned Silero VAD from a local ONNX file (reference
+            # vad_gate.py:235-247 loads Silero ONNX/TorchScript)
+            self.vad_model_pool.set_silero_model(config.vad_model_path)
+        elif config.vad_device == "device" or (
+            config.vad_device == "auto" and config.device not in ("cpu",)
+        ):
+            # one jitted cross-session batch per tick (SURVEY §7 step 4)
+            from ..component.vad_scorer import BatchedVadScorer
+
+            self._vad_scorer = BatchedVadScorer()
+            try:
+                self._vad_scorer.prewarm()
+            except Exception:
+                LOGGER.exception("batched VAD scorer prewarm failed")
+            self.vad_model_pool.set_scorer(self._vad_scorer)
 
         self.model_registry = ModelRegistry(
             metrics=self.metrics,
@@ -333,6 +350,8 @@ class ApplicationRuntime:
     def shutdown(self, drain_timeout_sec: Optional[float] = None) -> None:
         if self._adaptive_throttle is not None:
             self._adaptive_throttle.stop()
+        if self._vad_scorer is not None:
+            self._vad_scorer.close()
         self.model_registry.close(drain_timeout_sec)
 
 
