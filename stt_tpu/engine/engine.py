@@ -73,6 +73,14 @@ class DecodeOutput:
     # primary pass); the long-audio seek loop uses it for
     # prompt_reset_on_temperature semantics across windows
     temperature_used: float = 0.0
+    # word-level times [(start_sec, end_sec, word), ...] when the
+    # word_timestamps option is on (cross-attention DTW alignment)
+    words: List[Tuple[float, float, str]] = field(default_factory=list)
+    # internal: the decoded token row + prompt length that produced this
+    # output (the word-timestamp pass re-aligns them); not part of the API
+    _tokens: Any = None
+    _p_len: int = 0
+    _n_gen: int = 0
 
 
 class _Task:
@@ -849,6 +857,7 @@ class WhisperEngine:
         prefix_once = opts.pop("prefix", None)  # first window only
 
         segments: List[Segment] = []
+        all_words: List[Tuple[float, float, str]] = []
         info: Optional[BackendInfo] = None
         language = req.language
         prev_text = ""
@@ -884,6 +893,10 @@ class WhisperEngine:
             segments.extend(
                 Segment(s.start + offset, s.end + offset, s.text)
                 for s in out.segments
+            )
+            all_words.extend(
+                (ws + offset, we + offset, wtext)
+                for ws, we, wtext in out.words
             )
             if info is None:
                 info = out.info
@@ -921,6 +934,7 @@ class WhisperEngine:
             avg_logprob=lp_sum / max(1, n_windows),
             no_speech_prob=ns_sum / max(1, n_windows),
             temperature_used=max_temp,
+            words=all_words,
         )
 
     def _run_group(
@@ -1134,6 +1148,9 @@ class WhisperEngine:
                 batch_rows=n,
                 avg_logprob=avg_lp,
                 no_speech_prob=no_speech_p,
+                _tokens=arr[i, :t_max].astype(np.int32),
+                _p_len=p_len_row,
+                _n_gen=n_gen,
             )
 
         arr = np.asarray(packed)  # the ONE device->host transfer
@@ -1272,6 +1289,27 @@ class WhisperEngine:
                     if not failing:
                         break
 
+        # word-level timestamps (opt-in): one batched teacher-forced pass
+        # collecting cross-attention, DTW-aligned on the host
+        wt_rows = [
+            i for i, t in enumerate(group)
+            if bool(t.request.options.get("word_timestamps"))
+            and outputs[i].segments
+            and outputs[i]._tokens is not None
+            and outputs[i]._n_gen > 0
+        ]
+        if wt_rows:
+            try:
+                self._word_timestamp_pass(
+                    ctx, outputs, wt_rows, group, durations
+                )
+            except Exception:
+                import logging
+
+                logging.getLogger("stt_tpu").exception(
+                    "word-timestamp alignment failed; results carry no words"
+                )
+
         elapsed = time.monotonic() - t_start
         if self._metrics is not None:
             self._metrics.record_engine_batch(n, batch_n, elapsed)
@@ -1282,8 +1320,64 @@ class WhisperEngine:
                 avg_logprob=out.avg_logprob,
                 no_speech_prob=out.no_speech_prob,
                 temperature_used=out.temperature_used,
+                words=out.words,
             )
         return outputs
+
+    def _word_timestamp_pass(
+        self, ctx, outputs, wt_rows, group, durations
+    ) -> None:
+        """Cross-attention DTW word alignment (openai timing.py semantics;
+        reference torch backend maps ``word_timestamps`` at
+        ``stt_server/model/backends/torch_whisper.py:78-110``). Re-encodes
+        the batch's audio and runs ONE teacher-forced decoder pass over the
+        final token sequences, collecting the upper decoder layers' cross
+        attention; the host aligns tokens to 20 ms frames and regroups BPE
+        pieces into timed words. Segment boundaries of no-timestamp decodes
+        are refined to the aligned word extent (faster_whisper behavior)."""
+        from ..models import timing as T
+
+        rows_dev = ctx["rows_dev"]
+        batch_n = ctx["batch_n"]
+        p_len = ctx["p_len"]
+        max_new = ctx["max_new"]
+        with_ts = ctx["with_ts"]
+        t_seq = p_len + max_new
+        tokens2d = np.full((batch_n, t_seq), self.layout.eot, np.int32)
+        for i in wt_rows:
+            out = outputs[i]
+            row = out._tokens[: out._p_len + out._n_gen][:t_seq]
+            tokens2d[i, : len(row)] = row
+        enc = _mel_encode(
+            self.params, rows_dev, self.config.n_audio_head,
+            self.config.n_mels, self._dtype, use_pallas=self._use_pallas,
+        )
+        weights = np.asarray(W.cross_attention_weights(
+            self.params, jnp.asarray(tokens2d), enc,
+            self.config.n_text_head, n_align_layers=2,
+        ).astype(jnp.float32))
+        k, b, h, t, ta = weights.shape
+        flat = weights.transpose(1, 0, 2, 3, 4).reshape(b, k * h, t, ta)
+        for i in wt_rows:
+            out = outputs[i]
+            gen = out._tokens[out._p_len : out._p_len + out._n_gen]
+            positions = [
+                out._p_len + j
+                for j, tok in enumerate(gen)
+                if int(tok) < self.layout.eot and out._p_len + j < t_seq
+            ]
+            ids = [int(tokens2d[i, p]) for p in positions]
+            words = T.word_alignments(
+                flat[i], ids, positions, self.tokenizer, durations[i]
+            )
+            out.words = [(w.start, w.end, w.word) for w in words]
+            if out.words and not with_ts and out.segments:
+                # refine the whole-window segment to the aligned extent
+                seg = out.segments[0]
+                out.segments = [Segment(
+                    out.words[0][0], max(out.words[-1][1], out.words[0][0]),
+                    seg.text,
+                )] + out.segments[1:]
 
 
 __all__ = [

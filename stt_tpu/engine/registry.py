@@ -51,6 +51,9 @@ class WorkerResult(NamedTuple):
     rtf: float
     queue_wait_sec: float
     audio_duration: float
+    # word-level [(start_sec, end_sec, word), ...] when the
+    # word_timestamps decode option is on (engine DTW alignment)
+    words: tuple = ()
 
 
 @dataclass
@@ -265,6 +268,7 @@ class EnginePool(_BasePool):
                     rtf=rtf,
                     queue_wait_sec=queue_wait,
                     audio_duration=duration,
+                    words=tuple(out.words),
                 )
             )
 

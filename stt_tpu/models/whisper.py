@@ -921,6 +921,73 @@ def sample_decode(
     return DecodeResult(tokens, first_eot, sum_lp, no_speech_prob)
 
 
+@partial(jax.jit, static_argnames=("n_head", "n_align_layers"))
+def cross_attention_weights(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,
+    enc_out: jnp.ndarray,
+    n_head: int,
+    n_align_layers: int = 2,
+) -> jnp.ndarray:
+    """Teacher-forced decoder pass returning the cross-attention maps of
+    the LAST ``n_align_layers`` decoder layers: (K, B, H, T_text, T_audio)
+    float32 softmax weights.
+
+    This is the word-timestamp alignment signal (openai ``whisper/
+    timing.py add_word_timestamps``; reference torch backend maps the
+    ``word_timestamps`` option at ``stt_server/model/backends/
+    torch_whisper.py:78-110``). openai uses per-checkpoint alignment-head
+    masks; those ship with neither HF checkpoints nor this build, so the
+    upper layers' heads — where cross-attention is most localized — stand
+    in (the same fallback whisper uses for unknown models). Splitting the
+    layer scan keeps memory at (K, ...) instead of (L, ...).
+    """
+    dec = params["decoder"]
+    b, t = tokens.shape
+    x = dec["tok"][tokens] + dec["pos"][:t][None].astype(dec["tok"].dtype)
+    causal = jnp.where(
+        jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
+    )[None, None]
+    xk, xv = precompute_cross_kv(params, enc_out)   # (L, B, Ta, d) each
+    n_layers = jax.tree.leaves(dec["blocks"])[0].shape[0]
+    k_layers = max(1, min(n_align_layers, n_layers))
+    split = n_layers - k_layers
+    first = jax.tree.map(lambda a: a[:split], dec["blocks"])
+    last = jax.tree.map(lambda a: a[split:], dec["blocks"])
+
+    def layer(h, inputs):
+        block, ck, cv = inputs
+        h = h + _self_attn(_layer_norm(h, block["ln1"]), block["attn"], n_head, causal)
+        hx = _layer_norm(h, block["ln_x"])
+        qx = _linear(hx, block["xattn"]["q"])
+        h = h + _linear(_attention(qx, ck, cv, n_head), block["xattn"]["o"])
+        h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
+        return h, None
+
+    def layer_w(h, inputs):
+        block, ck, cv = inputs
+        h = h + _self_attn(_layer_norm(h, block["ln1"]), block["attn"], n_head, causal)
+        hx = _layer_norm(h, block["ln_x"])
+        qx = _linear(hx, block["xattn"]["q"])
+        scale = (qx.shape[-1] // n_head) ** -0.25
+        qh = _split_heads(qx, n_head) * scale
+        kh = _split_heads(ck, n_head) * scale
+        vh = _split_heads(cv, n_head)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1)              # (B, H, T, Ta)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32).astype(h.dtype)
+        h = h + _linear(_merge_heads(out), block["xattn"]["o"])
+        h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
+        return h, w
+
+    if split > 0:
+        x, _ = jax.lax.scan(layer, x, (first, xk[:split], xv[:split]))
+    _, weights = jax.lax.scan(layer_w, x, (last, xk[split:], xv[split:]))
+    return weights  # (K, B, H, T, Ta) float32
+
+
 def compression_ratio(text: str) -> float:
     """zlib compression ratio — whisper's repetition heuristic."""
     import zlib
@@ -1636,6 +1703,7 @@ __all__ = [
     "WHISPER_LANG_CODES",
     "WhisperConfig",
     "build_prompt",
+    "cross_attention_weights",
     "detect_language",
     "encode",
     "get_config",

@@ -1171,15 +1171,31 @@ class StreamOrchestrator:
 
         if state.decode_stream:
             bw, qw, inf, emit, count = state.decode_stream.timing_summary()
-            try:
-                context.set_trailing_metadata((
-                    ("stt-decode-buffer-wait-sec", f"{bw:.6f}"),
-                    ("stt-decode-queue-wait-sec", f"{qw:.6f}"),
-                    ("stt-decode-inference-sec", f"{inf:.6f}"),
-                    ("stt-decode-response-emit-sec", f"{emit:.6f}"),
-                    ("stt-decode-total-sec", f"{bw + qw + inf + emit:.6f}"),
-                    ("stt-decode-count", str(count)),
+            trailing = [
+                ("stt-decode-buffer-wait-sec", f"{bw:.6f}"),
+                ("stt-decode-queue-wait-sec", f"{qw:.6f}"),
+                ("stt-decode-inference-sec", f"{inf:.6f}"),
+                ("stt-decode-response-emit-sec", f"{emit:.6f}"),
+                ("stt-decode-total-sec", f"{bw + qw + inf + emit:.6f}"),
+                ("stt-decode-count", str(count)),
+            ]
+            words = getattr(state.decode_stream, "last_word_timings", [])
+            if words:
+                # the proto carries segment times only; word-level times
+                # (word_timestamps option) ride the trailing metadata as
+                # compact JSON (the reference proto has no field either)
+                import json as _json
+
+                trailing.append((
+                    "stt-word-timestamps",
+                    _json.dumps(
+                        [[round(ws, 3), round(we, 3), wt]
+                         for ws, we, wt in words],
+                        ensure_ascii=False, separators=(",", ":"),
+                    ),
                 ))
+            try:
+                context.set_trailing_metadata(tuple(trailing))
             except (grpc.RpcError, RuntimeError, ValueError):
                 pass
 

@@ -255,6 +255,9 @@ class DecodeStream:
         self._pending_partials = 0
         self._committed = ""
         self._last_partial = ""
+        # word-level times of the most recent decode that carried them
+        # (word_timestamps option); surfaced in trailing metadata
+        self.last_word_timings: List[tuple] = []
         self._timing = {
             "buffer_wait": 0.0,
             "queue_wait": 0.0,
@@ -495,6 +498,24 @@ class DecodeStream:
             seg.text.strip() for seg in result.segments if seg.text and seg.text.strip()
         )
         committed, unstable = self._update_commit_state(decoded_text, item.is_final)
+        words = getattr(result, "words", ()) or ()
+        if words:
+            # the wire contract (proto STTResult) carries segment times
+            # only; word-level times surface via the transcript log and
+            # the stream's trailing metadata (orchestrator finalize)
+            self.last_word_timings = [
+                (ws + item.offset_sec, we + item.offset_sec, wt)
+                for ws, we, wt in words
+            ]
+            if self.scheduler.log_transcripts:
+                TRANSCRIPT_LOGGER.info(
+                    "session_id=%s words=%s",
+                    self.session_id or "unknown",
+                    " ".join(
+                        f"[{ws:.2f}-{we:.2f}]{wt}"
+                        for ws, we, wt in self.last_word_timings
+                    ),
+                )
         for seg in result.segments:
             if self.scheduler.log_transcripts:
                 TRANSCRIPT_LOGGER.info(
