@@ -31,6 +31,58 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# peak bf16 TFLOPS per chip by device kind (public cloud specs)
+_PEAK_TFLOPS = (
+    ("v6", 918.0),          # Trillium
+    ("v5p", 459.0),
+    ("v5 lite", 197.0),     # v5e device_kind reads "TPU v5 lite"
+    ("v5e", 197.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+)
+
+
+def peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, tf in _PEAK_TFLOPS:
+        if key in kind:
+            return tf
+    return 197.0  # assume v5e-class when unknown
+
+
+def whisper_request_flops(config, bucket_sec: float, p_len: int,
+                          gen_tokens: int) -> float:
+    """Analytic FLOPs for one request: encoder over the padded bucket +
+    cross-KV precompute + KV-cached decoder steps (prefill + generation).
+    Matmul FLOPs only (2*M*N*K); elementwise/norms are noise next to them.
+    """
+    d = config.n_audio_state
+    ta = int(bucket_sec * 100) // 2          # encoder frames (50 Hz)
+    t_mel = int(bucket_sec * 100)
+    # conv stem: k=3 convs at T_mel and T_mel/2
+    flops = 2 * 3 * config.n_mels * d * t_mel
+    flops += 2 * 3 * d * d * (t_mel // 2)
+    # encoder layers: qkvo + scores/apply + mlp
+    flops += config.n_audio_layer * (
+        2 * 4 * ta * d * d + 2 * 2 * ta * ta * d + 2 * 8 * ta * d * d
+    )
+    dt = config.n_text_state
+    # cross-KV precompute: k and v projections over Ta per layer
+    flops += config.n_text_layer * 2 * 2 * ta * dt * dt
+    # decoder: every prompt/generated token is one cached step
+    steps = p_len + gen_tokens
+    cache = p_len + gen_tokens  # upper bound on attended cache length
+    per_step = config.n_text_layer * (
+        2 * 4 * dt * dt          # self qkvo
+        + 2 * 2 * dt * dt        # cross q, o
+        + 2 * 8 * dt * dt        # mlp
+        + 2 * 2 * cache * dt     # self scores+apply (avg overestimate)
+        + 2 * 2 * ta * dt        # cross scores+apply
+    ) + 2 * dt * config.n_vocab  # logits
+    flops += steps * per_step
+    return float(flops)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--streams", type=int, default=64)
@@ -90,7 +142,7 @@ def main() -> None:
         )
         log(f"compile: {compile_sec:.1f}s")
 
-        def run_round() -> float:
+        def run_round():
             reqs = [
                 DecodeRequest(audio=audio, language="en")
                 for _ in range(args.streams)
@@ -99,19 +151,34 @@ def main() -> None:
             futs = [engine.submit(r) for r in reqs]
             futures.wait(futs)
             wall = time.perf_counter() - t0
-            for f in futs:
-                f.result()  # surface errors
-            return wall
+            gen = sum(f.result()._n_gen for f in futs)  # surfaces errors
+            return wall, gen
 
         best_wall = float("inf")
+        gen_tokens = 0
         for i in range(args.rounds):
-            wall = run_round()
-            log(f"round {i}: wall={wall:.2f}s")
-            best_wall = min(best_wall, wall)
+            wall, gen = run_round()
+            log(f"round {i}: wall={wall:.2f}s gen_tokens={gen}")
+            if wall < best_wall:
+                best_wall, gen_tokens = wall, gen
 
         total_audio = args.streams * args.secs
         rtfx = total_audio / best_wall
         log(f"RTFx = {total_audio:.0f}s audio / {best_wall:.2f}s wall")
+
+        # MFU: analytic matmul FLOPs / wall / chip peak (VERDICT weak #2:
+        # track utilization, not just RTFx — the decode loop is
+        # latency-bound, so this shows how far from the MXU ceiling the
+        # serving point sits)
+        flops = args.streams * whisper_request_flops(
+            engine.config, bucket, 4, max(1, gen_tokens // args.streams)
+        )
+        eff_tflops = flops / best_wall / 1e12
+        peak = peak_tflops(devices[0])
+        mfu = 100.0 * eff_tflops / peak
+        log(f"MFU: {flops/1e12:.2f} TFLOP / {best_wall:.2f}s = "
+            f"{eff_tflops:.2f} TFLOPS effective vs {peak:.0f} peak "
+            f"-> {mfu:.2f}%")
 
         # secondary: p95 single-request latency at the 1s partial bucket
         # (the streaming partial path; north star p95 < 300 ms)
@@ -134,6 +201,9 @@ def main() -> None:
             "value": round(rtfx, 2),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(rtfx / 20.0, 3),
+            "mfu_pct": round(mfu, 2),
+            "effective_tflops": round(eff_tflops, 2),
+            "partial_p95_ms": round(p95 * 1000, 1),
         }), flush=True)
     finally:
         engine.close()

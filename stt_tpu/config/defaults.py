@@ -196,6 +196,10 @@ DEFAULT_TPU_USE_PALLAS = True
 DEFAULT_TPU_PAD_TO_30S = False
 DEFAULT_TPU_PREWARM = True
 DEFAULT_TPU_PREWARM_BATCH_SIZES: list = []
+# "aot": lower+compile every shape host-side (no device execution; fills
+# the persistent XLA cache; fast parallel boots). "execute": also run a
+# zero-audio batch per shape on device (slowest, proves execution).
+DEFAULT_TPU_PREWARM_MODE = "aot"
 DEFAULT_TPU_PREFER_DONATION = True
 
 
@@ -308,6 +312,7 @@ SERVER_SECTION_MAP: Dict[str, Dict[str, str]] = {
         "pad_to_30s": "tpu_pad_to_30s",
         "prewarm": "tpu_prewarm",
         "prewarm_batch_sizes": "tpu_prewarm_batch_sizes",
+        "prewarm_mode": "tpu_prewarm_mode",
         "prefer_donation": "tpu_prefer_donation",
     },
 }

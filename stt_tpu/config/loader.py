@@ -159,6 +159,7 @@ class ServerConfig:
     tpu_prewarm_batch_sizes: List[int] = field(
         default_factory=lambda: list(d.DEFAULT_TPU_PREWARM_BATCH_SIZES)
     )
+    tpu_prewarm_mode: str = d.DEFAULT_TPU_PREWARM_MODE
     tpu_prefer_donation: bool = d.DEFAULT_TPU_PREFER_DONATION
 
 

@@ -408,6 +408,9 @@ class ModelRegistry:
                 "prewarm_parallelism",
                 engine_kwargs.pop("prewarm_parallelism", 4),
             ) or 1)
+            prewarm_mode = str(options.get(
+                "prewarm_mode", engine_kwargs.pop("prewarm_mode", "aot"),
+            ) or "aot")
             engine_kwargs.update(
                 {
                     k: options[k]
@@ -479,11 +482,23 @@ class ModelRegistry:
                     eng.prewarm(
                         batch_sizes=sizes, include_detect=True,
                         beam_sizes=beams, parallelism=prewarm_threads,
+                        mode=prewarm_mode,
                     )
+                if prewarm_mode == "aot":
+                    # one real tiny decode proves end-to-end execution
+                    # (the AOT path never touches the device)
+                    engines[0].transcribe_sync(DecodeRequest(
+                        audio=np.zeros(
+                            int(engines[0].audio_buckets_sec[0] * 16000),
+                            np.float32,
+                        ),
+                        language="en",
+                    ))
                 LOGGER.info(
-                    "prewarmed model_id=%s shapes=%sx%sx beams=%s in %.1fs",
-                    model_id, engines[0].audio_buckets_sec, sizes, beams,
-                    time.monotonic() - t0,
+                    "prewarmed model_id=%s mode=%s shapes=%sx%sx beams=%s "
+                    "in %.1fs",
+                    model_id, prewarm_mode, engines[0].audio_buckets_sec,
+                    sizes, beams, time.monotonic() - t0,
                 )
         else:
             backends = [

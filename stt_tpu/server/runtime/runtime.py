@@ -114,6 +114,7 @@ class ApplicationRuntime:
                 "pad_to_30s": config.tpu_pad_to_30s,
                 "prewarm": config.tpu_prewarm,
                 "prewarm_batch_sizes": list(config.tpu_prewarm_batch_sizes),
+                "prewarm_mode": config.tpu_prewarm_mode,
                 # beam widths from the configured decode profiles, so the
                 # `accurate` path compiles at boot instead of first use
                 "prewarm_beam_sizes": sorted(

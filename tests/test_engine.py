@@ -411,6 +411,53 @@ def test_beam_patience_option_through_engine(engine):
     assert out.batch_rows == 1
 
 
+def test_prewarm_aot_mode():
+    """AOT prewarm (lower+compile, no device execution) covers the same
+    shape matrix and serving still works afterwards."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0, 2.0), batch_buckets=(1, 2),
+                        max_decode_tokens=16)
+    elapsed = eng.prewarm(batch_sizes=[1, 2], include_detect=True,
+                          beam_sizes=[1, 2], parallelism=4, mode="aot")
+    assert elapsed > 0
+    out = eng.transcribe_sync(_req(seed=22))
+    assert out.info.language == "en"
+    auto = eng.transcribe_sync(_req(seed=22, language=None))
+    assert auto.info.language
+    beam = eng.transcribe_sync(_req(seed=22, options={"beam_size": 2}))
+    assert beam.batch_rows == 1
+    eng.close()
+
+
+def test_aot_placeholders_match_runtime_shapes():
+    """The AOT placeholder construction must mirror _device_phase exactly,
+    else serving-time calls would silently recompile: compare the lowered
+    input avals of the AOT path against a real device-phase call."""
+    import jax
+
+    from stt_tpu.engine.engine import _Task
+
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    # run one REAL device phase and capture the actual argument avals
+    req = _req(seed=23)
+    ctx = eng._device_phase([_Task(req, None)])
+    eng._harvest(ctx)
+    real_avals = (
+        jax.api_util.shaped_abstractify(ctx["rows_dev"]),
+    )
+    # the AOT path builds rows of the same aval
+    bucket = eng._bucket_for(len(req.audio))
+    from stt_tpu.ops.mel import HOP_LENGTH, SAMPLE_RATE
+    samples = int(bucket * SAMPLE_RATE)
+    samples -= samples % HOP_LENGTH
+    aot_rows = jax.ShapeDtypeStruct((1, samples), "float32")
+    assert real_avals[0].shape == aot_rows.shape
+    assert str(real_avals[0].dtype) == str(aot_rows.dtype)
+    eng.close()
+
+
 def test_prewarm_compiles_beam_shapes():
     """prewarm(beam_sizes=...) exercises the beam program per shape so the
     first accurate decode doesn't stall on a cold compile."""

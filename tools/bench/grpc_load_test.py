@@ -84,7 +84,14 @@ class SessionRecord:
     rtf: float = 0.0
     results: int = 0
     finals: int = 0
+    transcript: str = ""
     server_timing: Dict[str, float] = field(default_factory=dict)
+
+    COLUMNS = (
+        "session_id", "worker", "iteration", "ok", "error",
+        "create_latency_sec", "first_partial_sec", "final_latency_sec",
+        "audio_sec", "wall_sec", "rtf", "results", "finals", "transcript",
+    )
 
     def to_row(self) -> Dict[str, Any]:
         row = {
@@ -107,9 +114,55 @@ class SessionRecord:
             "rtf": round(self.rtf, 4),
             "results": self.results,
             "finals": self.finals,
+            "transcript": self.transcript,
         }
         row.update({f"server_{k}": v for k, v in self.server_timing.items()})
         return row
+
+
+class SessionLogWriter:
+    """Per-session artifact logs in jsonl/csv/tsv/markdown (reference
+    harness session-log formats, ``grpc_load_test.py:501-538``)."""
+
+    def __init__(self, path: str, fmt: str) -> None:
+        import csv as _csv
+
+        self.fmt = fmt
+        self.handle = open(path, "w", newline="")
+        self._csv = _csv
+        self._writer = None
+        self._lock = threading.Lock()
+        if fmt in ("csv", "tsv"):
+            delim = "," if fmt == "csv" else "\t"
+            self._writer = _csv.writer(self.handle, delimiter=delim)
+            self._writer.writerow(SessionRecord.COLUMNS)
+        elif fmt == "markdown":
+            self.handle.write(
+                "| " + " | ".join(SessionRecord.COLUMNS) + " |\n"
+            )
+            self.handle.write(
+                "|" + "|".join("---" for _ in SessionRecord.COLUMNS) + "|\n"
+            )
+
+    def write(self, record: SessionRecord) -> None:
+        row = record.to_row()
+        with self._lock:
+            if self.fmt == "jsonl":
+                self.handle.write(json.dumps(row) + "\n")
+            elif self.fmt in ("csv", "tsv"):
+                self._writer.writerow(
+                    ["" if row.get(c) is None else row.get(c)
+                     for c in SessionRecord.COLUMNS]
+                )
+            else:  # markdown
+                self.handle.write("| " + " | ".join(
+                    str(row.get(c, "")).replace("|", "\\|")
+                    for c in SessionRecord.COLUMNS
+                ) + " |\n")
+            self.handle.flush()
+
+    def close(self) -> None:
+        self.handle.close()
 
 
 def percentile(values: List[float], pct: float) -> Optional[float]:
@@ -200,6 +253,10 @@ def run_session(
             if result.is_final:
                 record.finals += 1
                 record.final_latency_sec = now - last_chunk_at[0]
+                record.transcript = (
+                    (record.transcript + " " + (result.text or "").strip())
+                    .strip()[:200]
+                )
         record.wall_sec = time.perf_counter() - stream_start
         record.rtf = (
             record.wall_sec / record.audio_sec if record.audio_sec > 0 else 0.0
@@ -238,18 +295,35 @@ def summarize(records: List[SessionRecord], wall_sec: float) -> Dict[str, Any]:
             "max": max(values) if values else None,
         }
 
+    # server decode-phase breakdown (joined from trailing metadata)
+    phases = {}
+    for key in ("buffer_wait_sec", "queue_wait_sec", "inference_sec",
+                "response_emit_sec", "total_sec"):
+        vals = [r.server_timing[key] for r in ok if key in r.server_timing]
+        if vals:
+            phases[f"server_{key}"] = stats(vals)
+    responses = [float(r.results) for r in ok]
+
     return {
         "sessions": len(records),
         "ok": len(ok),
         "errors": len(records) - len(ok),
         "error_rate": (len(records) - len(ok)) / max(1, len(records)),
+        "sessions_per_sec": (
+            round(len(ok) / wall_sec, 3) if wall_sec > 0 else None
+        ),
         "create_latency_sec": stats(creates),
         "first_partial_sec": stats(firsts),
         "final_latency_sec": stats(finals),
         "rtf": stats(rtfs),
+        "responses_per_session": stats(responses),
         "total_audio_sec": round(total_audio, 2),
+        "audio_sec_per_sec": (
+            round(total_audio / wall_sec, 2) if wall_sec > 0 else None
+        ),
         "wall_sec": round(wall_sec, 2),
         "rtfx_aggregate": round(total_audio / wall_sec, 2) if wall_sec > 0 else None,
+        **phases,
     }
 
 
@@ -288,7 +362,14 @@ def main() -> None:
     parser.add_argument("--ca-cert", default=None)
     parser.add_argument("--server-hostname", default=None)
     parser.add_argument("--out", default=None,
-                        help="write per-session records to this JSONL file")
+                        help="write per-session records to this file")
+    parser.add_argument("--session-log-format",
+                        choices=("jsonl", "csv", "tsv", "markdown"),
+                        default="jsonl", help="format for --out")
+    parser.add_argument("--out-dir", default=None,
+                        help="write a full artifact set (session logs in "
+                             "jsonl+csv+markdown, summary.json, "
+                             "run_meta.json) into this directory")
     args = parser.parse_args()
 
     if args.wav:
@@ -337,13 +418,47 @@ def main() -> None:
         t.join()
     wall = time.perf_counter() - run_start
 
+    writers: List[SessionLogWriter] = []
     if args.out:
-        with open(args.out, "w") as f:
-            for rec in records:
-                f.write(json.dumps(rec.to_row()) + "\n")
-        print(f"[load] wrote {len(records)} records to {args.out}", file=sys.stderr)
+        writers.append(SessionLogWriter(args.out, args.session_log_format))
+    if args.out_dir:
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for fmt, name in (
+            ("jsonl", "sessions.jsonl"),
+            ("csv", "sessions.csv"),
+            ("markdown", "sessions.md"),
+        ):
+            writers.append(SessionLogWriter(str(out_dir / name), fmt))
+    for writer in writers:
+        for rec in records:
+            writer.write(rec)
+        writer.close()
+    if writers:
+        print(
+            f"[load] wrote {len(records)} records to "
+            f"{len(writers)} session log(s)",
+            file=sys.stderr,
+        )
 
     summary = summarize(records, wall)
+    if args.out_dir:
+        out_dir = Path(args.out_dir)
+        (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+        (out_dir / "run_meta.json").write_text(json.dumps({
+            "target": args.target,
+            "sessions": args.sessions,
+            "iterations": args.iterations,
+            "warmup": args.warmup,
+            "mode": args.mode,
+            "speed": args.speed,
+            "chunk_ms": args.chunk_ms,
+            "profile": args.profile,
+            "language": args.language,
+            "audio_sec": audio_sec,
+            "started_at": run_start,
+            "wall_sec": wall,
+        }, indent=2))
     print(json.dumps(summary, indent=2))
     sys.exit(0 if summary["errors"] == 0 else 1)
 

@@ -40,6 +40,7 @@ class RunManager:
         self.runs_dir.mkdir(parents=True, exist_ok=True)
         self._lock = threading.Lock()
         self._runs: Dict[str, Dict[str, Any]] = {}
+        self._procs: Dict[str, subprocess.Popen] = {}
 
     def start_run(self, params: Dict[str, Any]) -> Dict[str, Any]:
         run_id = time.strftime("%Y%m%d_%H%M%S") + "_" + uuid.uuid4().hex[:6]
@@ -55,13 +56,17 @@ class RunManager:
             "--mode", str(params.get("mode", "realtime")),
             "--speed", str(float(params.get("speed", 1.0))),
             "--profile", str(params.get("profile", "realtime")),
-            "--out", str(run_dir / "sessions.jsonl"),
+            "--out-dir", str(run_dir),
         ]
         if params.get("warmup"):
             cmd += ["--warmup", str(int(params["warmup"]))]
-        stdout = open(run_dir / "summary.json", "w")
+        if params.get("language"):
+            cmd += ["--language", str(params["language"])]
+        (run_dir / "params.json").write_text(json.dumps(params, indent=2))
         stderr = open(run_dir / "run.log", "w")
-        proc = subprocess.Popen(cmd, cwd=REPO_ROOT, stdout=stdout, stderr=stderr)
+        proc = subprocess.Popen(
+            cmd, cwd=REPO_ROOT, stdout=subprocess.DEVNULL, stderr=stderr
+        )
         record = {
             "id": run_id,
             "params": params,
@@ -72,18 +77,45 @@ class RunManager:
         }
         with self._lock:
             self._runs[run_id] = record
+            self._procs[run_id] = proc
 
         def waiter():
             rc = proc.wait()
-            stdout.close()
             stderr.close()
             with self._lock:
-                record["status"] = "success" if rc == 0 else "failed"
+                if record["status"] == "cancelled":
+                    pass
+                else:
+                    record["status"] = "success" if rc == 0 else "failed"
                 record["returncode"] = rc
                 record["finished_at"] = time.time()
+                self._procs.pop(run_id, None)
 
         threading.Thread(target=waiter, daemon=True).start()
         return dict(record)
+
+    def cancel_run(self, run_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            proc = self._procs.get(run_id)
+            record = self._runs.get(run_id)
+            if proc is None or record is None:
+                return None
+            record["status"] = "cancelled"
+        proc.terminate()
+        return dict(record)
+
+    def artifacts(self, run_id: str) -> List[str]:
+        run_dir = self.runs_dir / run_id
+        if not run_dir.is_dir():
+            return []
+        return sorted(p.name for p in run_dir.iterdir() if p.is_file())
+
+    def artifact_path(self, run_id: str, name: str) -> Optional[Path]:
+        # run_id/name are path components, never traversal
+        if "/" in name or ".." in name or "/" in run_id or ".." in run_id:
+            return None
+        path = self.runs_dir / run_id / name
+        return path if path.is_file() else None
 
     def list_runs(self) -> List[Dict[str, Any]]:
         with self._lock:
@@ -168,11 +200,66 @@ def build_handler(manager: RunManager, stt_http: str):
             if path == "/api/runs":
                 self._json({"runs": manager.list_runs()})
                 return
+            if path.startswith("/api/runs/") and path.endswith("/events"):
+                # per-run SSE: status + tail of the live run log
+                run_id = path.split("/")[3]
+                self.send_response(200)
+                self.send_header("content-type", "text/event-stream")
+                self.send_header("cache-control", "no-cache")
+                self.end_headers()
+                log_path = manager.runs_dir / run_id / "run.log"
+                offset = 0
+                try:
+                    while True:
+                        lines = []
+                        if log_path.exists():
+                            with open(log_path) as f:
+                                f.seek(offset)
+                                chunk = f.read()
+                                offset = f.tell()
+                            lines = [
+                                ln for ln in chunk.splitlines() if ln.strip()
+                            ]
+                        detail = manager.run_detail(run_id) or {}
+                        payload = json.dumps({
+                            "status": detail.get("status", "unknown"),
+                            "log": lines,
+                            "summary": detail.get("summary"),
+                        })
+                        self.wfile.write(f"data: {payload}\n\n".encode())
+                        self.wfile.flush()
+                        if detail.get("status") not in ("running", None):
+                            return
+                        time.sleep(1.0)
+                except (BrokenPipeError, ConnectionResetError):
+                    return
+            if path.startswith("/api/runs/") and "/artifact" in path:
+                parts = path.split("/")
+                run_id = parts[3]
+                query = parse_qs(parsed.query)
+                name = (query.get("name") or [""])[0]
+                fpath = manager.artifact_path(run_id, name)
+                if fpath is None:
+                    self._json({"error": "not found"}, 404)
+                    return
+                body = fpath.read_bytes()
+                ctype = (
+                    "application/json" if name.endswith(".json")
+                    else "text/plain"
+                )
+                self.send_response(200)
+                self.send_header("content-type", ctype)
+                self.send_header("content-length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if path.startswith("/api/runs/"):
-                detail = manager.run_detail(path.rsplit("/", 1)[1])
+                run_id = path.rsplit("/", 1)[1]
+                detail = manager.run_detail(run_id)
                 if detail is None:
                     self._json({"error": "not found"}, 404)
                 else:
+                    detail["artifacts"] = manager.artifacts(run_id)
                     self._json(detail)
                 return
             if path == "/api/kpis":
@@ -203,6 +290,16 @@ def build_handler(manager: RunManager, stt_http: str):
                     self._json({"error": "invalid JSON"}, 400)
                     return
                 self._json(manager.start_run(params))
+                return
+            if parsed.path.startswith("/api/runs/") and (
+                parsed.path.endswith("/cancel")
+            ):
+                run_id = parsed.path.split("/")[3]
+                record = manager.cancel_run(run_id)
+                if record is None:
+                    self._json({"error": "not running"}, 404)
+                else:
+                    self._json(record)
                 return
             self._json({"error": "not found"}, 404)
 
