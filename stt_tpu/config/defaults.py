@@ -176,7 +176,10 @@ DEFAULT_DECODE_BATCH_WINDOW_MS = 5.0   # micro-batching window for the engine
 DEFAULT_MAX_DECODE_BATCH_SIZE = 16     # engine batch-row cap per step
 DEFAULT_TPU_MESH_SHAPE = "1x1"         # "<data>x<model>" device mesh layout
 DEFAULT_TPU_AUDIO_BUCKETS_SEC = [1.0, 2.0, 5.0, 10.0, 30.0]
-DEFAULT_TPU_BATCH_BUCKETS = [1, 2, 4, 8, 16]
+# sparse on purpose: batch rows pad to the next bucket, and small-batch
+# dispatches are latency-bound on TPU, so intermediate rungs buy little
+# serving latency while multiplying the boot compile matrix
+DEFAULT_TPU_BATCH_BUCKETS = [1, 4, 16]
 DEFAULT_TPU_MAX_DECODE_TOKENS = 224
 DEFAULT_TPU_DECODE_TOKEN_CHUNK = 8     # tokens per engine step (preemption grain)
 # Pallas fused log-mel: 3.2x faster than the XLA mel standalone on a v5e

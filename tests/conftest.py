@@ -27,3 +27,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", _platform)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Isolate the serve-executable disk cache per test session (never write a
+# test engine's executables into the operator's ~/.cache).
+if "STT_EXEC_CACHE_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["STT_EXEC_CACHE_DIR"] = tempfile.mkdtemp(prefix="stt_exec_")

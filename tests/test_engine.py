@@ -413,19 +413,67 @@ def test_beam_patience_option_through_engine(engine):
 
 def test_prewarm_aot_mode():
     """AOT prewarm (lower+compile, no device execution) covers the same
-    shape matrix and serving still works afterwards."""
+    shape matrix and serving still works afterwards — through the
+    executable table for canonical options."""
     eng = WhisperEngine("test", device="cpu", compute_type="float32",
                         audio_buckets_sec=(1.0, 2.0), batch_buckets=(1, 2),
                         max_decode_tokens=16)
     elapsed = eng.prewarm(batch_sizes=[1, 2], include_detect=True,
                           beam_sizes=[1, 2], parallelism=4, mode="aot")
     assert elapsed > 0
+    # every (bucket, batch, beam) combo landed in the executable table
+    assert len(eng._serve_exec) == 2 * 2 * 2
     out = eng.transcribe_sync(_req(seed=22))
     assert out.info.language == "en"
     auto = eng.transcribe_sync(_req(seed=22, language=None))
     assert auto.info.language
     beam = eng.transcribe_sync(_req(seed=22, options={"beam_size": 2}))
     assert beam.batch_rows == 1
+    eng.close()
+
+
+def test_exec_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """A second engine boot loads serve executables from disk instead of
+    recompiling (the warm-reboot path), and transcripts are identical."""
+    monkeypatch.setenv("STT_EXEC_CACHE_DIR", str(tmp_path))
+    kw = dict(device="cpu", compute_type="float32",
+              audio_buckets_sec=(1.0,), batch_buckets=(1,),
+              max_decode_tokens=16)
+    eng1 = WhisperEngine("test", **kw)
+    eng1.prewarm(batch_sizes=[1], mode="aot")
+    files = list(tmp_path.rglob("*.jexec"))
+    assert files, "AOT prewarm did not persist executables"
+    out1 = eng1.transcribe_sync(_req(seed=30))
+    eng1.close()
+
+    compiled = {"n": 0}
+    eng2 = WhisperEngine("test", **kw)
+    orig = eng2.__class__._store_exec
+
+    def counting_store(self, key, c):
+        compiled["n"] += 1
+        return orig(self, key, c)
+
+    monkeypatch.setattr(eng2.__class__, "_store_exec", counting_store)
+    eng2.prewarm(batch_sizes=[1], mode="aot")
+    assert compiled["n"] == 0, "warm prewarm recompiled instead of loading"
+    assert eng2._serve_exec, "warm prewarm did not populate the exec table"
+    out2 = eng2.transcribe_sync(_req(seed=30))
+    assert [s.text for s in out2.segments] == [s.text for s in out1.segments]
+    eng2.close()
+
+
+def test_non_canonical_options_bypass_exec_table():
+    """Options outside the canonical set (timestamps here) must route
+    through the jitted fallback path, not the prewarmed executable."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    eng.prewarm(batch_sizes=[1], mode="aot")
+    out = eng.transcribe_sync(
+        _req(seed=31, options={"without_timestamps": False})
+    )
+    assert out.batch_rows == 1
     eng.close()
 
 
