@@ -726,13 +726,20 @@ class WhisperEngine:
         match the runtime call signature exactly (shapes, dtypes, static
         values) — a mismatch would silently fall back to a serving-time
         compile, so this construction mirrors ``_device_phase``."""
+        import logging
+
         key = self._serve_exec_key(bucket_sec, batch_n, beam)
         use_exec = self._exec_usable()
         if use_exec:
             if key in self._serve_exec:
                 return
+            t0 = time.monotonic()
             if self._load_exec(key) is not None:
+                logging.getLogger("stt_tpu").info(
+                    "exec cache hit %s (%.2fs)", key, time.monotonic() - t0
+                )
                 return
+            logging.getLogger("stt_tpu").info("exec cache miss %s", key)
         sds = jax.ShapeDtypeStruct
         bucket_samples = int(bucket_sec * SAMPLE_RATE)
         bucket_samples -= bucket_samples % HOP_LENGTH
