@@ -749,17 +749,11 @@ class WhisperEngine:
         prompt = sds((batch_n, p_len), jnp.int32)
         prompt_len = sds((batch_n,), jnp.int32)
         auto_mask = sds((batch_n,), jnp.bool_)
+        cache_shape = W.kv_cache_shape(
+            self.config, batch_n * beam, p_len + max_new
+        )
         cache = W.KVCache(
-            sds(
-                (self.config.n_text_layer, batch_n * beam,
-                 p_len + max_new, self.config.n_text_state),
-                self._dtype,
-            ),
-            sds(
-                (self.config.n_text_layer, batch_n * beam,
-                 p_len + max_new, self.config.n_text_state),
-                self._dtype,
-            ),
+            sds(cache_shape, self._dtype), sds(cache_shape, self._dtype)
         )
         compiled = _serve_step.lower(
             self.params, rows, prompt, prompt_len, auto_mask, None, cache,

@@ -466,29 +466,60 @@ def encode(params: Dict[str, Any], mel: jnp.ndarray, n_head: int) -> jnp.ndarray
 
 
 class KVCache(NamedTuple):
-    """Self-attention cache: (L, B, T_max, d) post-projection k and v."""
+    """Self-attention cache in **head-split layout**: (L, B, H, T_max, Dh)
+    post-projection k and v, with k pre-scaled by d_head**-0.25.
+
+    Layout rationale (measured on v5e): storing (L, B, T, d) forces a
+    (B, T, d) -> (B, H, T, Dh) transpose of the FULL cache (and of the
+    cross K/V: ~1 GB for a 64x10s batch) on every decode step, which
+    dominated per-step latency by an order of magnitude over the actual
+    attention math. Head-split storage transposes each k/v exactly once,
+    at write time, on a single position.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
 
 
+def kv_cache_shape(
+    config: WhisperConfig, batch: int, max_len: int
+) -> tuple:
+    h = config.n_text_head
+    return (config.n_text_layer, batch, h, max_len, config.n_text_state // h)
+
+
 def init_kv_cache(
     config: WhisperConfig, batch: int, max_len: int, dtype=jnp.float32
 ) -> KVCache:
-    shape = (config.n_text_layer, batch, max_len, config.n_text_state)
+    shape = kv_cache_shape(config, batch, max_len)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def precompute_cross_kv(params, enc_out):
-    """Cross-attention K/V for all layers: (L, B, T_audio, d) each."""
+def precompute_cross_kv(params, enc_out, n_head):
+    """Cross-attention K/V for all layers, head-split and k pre-scaled:
+    (L, B, H, T_audio, Dh) each. Computed once per window; every decode
+    step then attends without re-transposing the (large) audio K/V."""
     blocks = params["decoder"]["blocks"]
+    scale = (enc_out.shape[-1] // n_head) ** -0.25
 
     def per_layer(block):
-        k = _linear(enc_out, block["xattn"]["k"])
-        v = _linear(enc_out, block["xattn"]["v"])
-        return k, v
+        k = _split_heads(_linear(enc_out, block["xattn"]["k"]), n_head)
+        v = _split_heads(_linear(enc_out, block["xattn"]["v"]), n_head)
+        return (k * scale).astype(enc_out.dtype), v
 
-    return jax.lax.map(per_layer, blocks)  # tuple of (L, B, T, d)
+    return jax.lax.map(per_layer, blocks)  # tuple of (L, B, H, Ta, Dh)
+
+
+def _attn_cached(qh, kh, vh, mask=None):
+    """Attention over pre-split, pre-scaled K (qh must also be pre-scaled
+    by d_head**-0.25): qh (B, H, Tq, Dh), kh/vh (B, H, Tk, Dh)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
+                      preferred_element_type=jnp.float32)
 
 
 def _decoder_step(
@@ -504,41 +535,58 @@ def _decoder_step(
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, axis=0)[None].astype(
         x.dtype
     )
+    d = x.shape[-1]
+    scale = (d // n_head) ** -0.25
 
-    t_max = cache.k.shape[2]
+    t_max = cache.k.shape[3]
     # mask future cache slots: (1, 1, 1, T_max) additive
     slot_ids = jnp.arange(t_max)
     mask = jnp.where(slot_ids[None, None, None, :] <= valid_len, 0.0, -jnp.inf)
 
     xk, xv = cross_kv
+    k_cache, v_cache = cache.k, cache.v
+    n_layers = k_cache.shape[0]
 
-    def layer(h, inputs):
-        block, ck, cv, lk, lv = inputs
-        # self-attention against cache
+    # The layer loop is UNROLLED (not lax.scan): scanning with the cache as
+    # a scanned carry made XLA materialize per-layer slice+update copies of
+    # the whole layer cache AND double-buffer the full stacked cache across
+    # while-loop iterations (profiled at ~2.3 ms/step of pure copies for a
+    # 64x10s batch on v5e). Unrolled, each layer writes one (B, H, 1, Dh)
+    # position into the stacked buffer in place, and the while-loop carry
+    # aliases cleanly.
+    h = x
+    for li in range(n_layers):
+        block = jax.tree_util.tree_map(lambda a: a[li], dec["blocks"])
+        ck, cv = xk[li], xv[li]
+        # self-attention against the head-split cache (k stored pre-scaled)
         hn = _layer_norm(h, block["ln1"])
-        q = _linear(hn, block["attn"]["q"])
-        k_new = _linear(hn, block["attn"]["k"])
-        v_new = _linear(hn, block["attn"]["v"])
-        lk = jax.lax.dynamic_update_slice_in_dim(lk, k_new, pos, axis=1)
-        lv = jax.lax.dynamic_update_slice_in_dim(lv, v_new, pos, axis=1)
-        attn_out = _attention(q, lk, lv, n_head, mask)
-        h = h + _linear(attn_out, block["attn"]["o"])
-        # cross-attention (precomputed K/V)
+        qh = _split_heads(_linear(hn, block["attn"]["q"]), n_head) * scale
+        k_new = _split_heads(
+            _linear(hn, block["attn"]["k"]), n_head
+        ) * scale
+        v_new = _split_heads(_linear(hn, block["attn"]["v"]), n_head)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype)[None], (li, 0, 0, pos, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype)[None], (li, 0, 0, pos, 0)
+        )
+        attn_out = _attn_cached(qh, k_cache[li], v_cache[li], mask).astype(
+            h.dtype
+        )
+        h = h + _linear(_merge_heads(attn_out), block["attn"]["o"])
+        # cross-attention (precomputed, pre-split, pre-scaled K/V)
         hx = _layer_norm(h, block["ln_x"])
-        qx = _linear(hx, block["xattn"]["q"])
-        x_out = _attention(qx, ck, cv, n_head)
-        h = h + _linear(x_out, block["xattn"]["o"])
+        qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
+        x_out = _attn_cached(qx, ck, cv).astype(h.dtype)
+        h = h + _linear(_merge_heads(x_out), block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
-        return h, (lk, lv)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (dec["blocks"], xk, xv, cache.k, cache.v)
-    )
-    x = _layer_norm(x, dec["ln"])
+    x = _layer_norm(h, dec["ln"])
     logits = jnp.dot(
         x[:, 0, :], dec["tok"].T, preferred_element_type=jnp.float32
     )
-    return logits, KVCache(new_k, new_v)
+    return logits, KVCache(k_cache, v_cache)
 
 
 @partial(jax.jit, static_argnames=("n_head",))
@@ -559,14 +607,16 @@ def decoder_forward(
     causal = jnp.where(
         jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
     )[None, None]
-    xk, xv = precompute_cross_kv(params, enc_out)
+    xk, xv = precompute_cross_kv(params, enc_out, n_head)
+    scale = (x.shape[-1] // n_head) ** -0.25
 
     def layer(h, inputs):
         block, ck, cv = inputs
         h = h + _self_attn(_layer_norm(h, block["ln1"]), block["attn"], n_head, causal)
         hx = _layer_norm(h, block["ln_x"])
-        qx = _linear(hx, block["xattn"]["q"])
-        h = h + _linear(_attention(qx, ck, cv, n_head), block["xattn"]["o"])
+        qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
+        x_out = _merge_heads(_attn_cached(qx, ck, cv).astype(h.dtype))
+        h = h + _linear(x_out, block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
         return h, None
 
@@ -694,8 +744,8 @@ def greedy_decode(
     """
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
-    t_max = cache.k.shape[2]
-    cross_kv = precompute_cross_kv(params, enc_out)
+    t_max = cache.k.shape[3]
+    cross_kv = precompute_cross_kv(params, enc_out, n_head)
     suppress = jnp.asarray(_suppress_mask(config, True))
     begin = jnp.asarray(
         _sample_begin_mask(config) if suppress_blank
@@ -827,8 +877,8 @@ def sample_decode(
     reuses ONE compiled program per shape."""
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
-    t_max = cache.k.shape[2]
-    cross_kv = precompute_cross_kv(params, enc_out)
+    t_max = cache.k.shape[3]
+    cross_kv = precompute_cross_kv(params, enc_out, n_head)
     suppress = jnp.asarray(_suppress_mask(config, True))
     begin = jnp.asarray(
         _sample_begin_mask(config) if suppress_blank
@@ -948,19 +998,22 @@ def cross_attention_weights(
     causal = jnp.where(
         jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
     )[None, None]
-    xk, xv = precompute_cross_kv(params, enc_out)   # (L, B, Ta, d) each
+    xk, xv = precompute_cross_kv(params, enc_out, n_head)  # (L, B, H, Ta, Dh)
     n_layers = jax.tree.leaves(dec["blocks"])[0].shape[0]
     k_layers = max(1, min(n_align_layers, n_layers))
     split = n_layers - k_layers
     first = jax.tree.map(lambda a: a[:split], dec["blocks"])
     last = jax.tree.map(lambda a: a[split:], dec["blocks"])
 
+    scale = (x.shape[-1] // n_head) ** -0.25
+
     def layer(h, inputs):
         block, ck, cv = inputs
         h = h + _self_attn(_layer_norm(h, block["ln1"]), block["attn"], n_head, causal)
         hx = _layer_norm(h, block["ln_x"])
-        qx = _linear(hx, block["xattn"]["q"])
-        h = h + _linear(_attention(qx, ck, cv, n_head), block["xattn"]["o"])
+        qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
+        x_out = _merge_heads(_attn_cached(qx, ck, cv).astype(h.dtype))
+        h = h + _linear(x_out, block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
         return h, None
 
@@ -968,15 +1021,12 @@ def cross_attention_weights(
         block, ck, cv = inputs
         h = h + _self_attn(_layer_norm(h, block["ln1"]), block["attn"], n_head, causal)
         hx = _layer_norm(h, block["ln_x"])
-        qx = _linear(hx, block["xattn"]["q"])
-        scale = (qx.shape[-1] // n_head) ** -0.25
-        qh = _split_heads(qx, n_head) * scale
-        kh = _split_heads(ck, n_head) * scale
-        vh = _split_heads(cv, n_head)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+        qh = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
+        # ck arrives pre-scaled (precompute_cross_kv), cv pre-split
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, ck,
                             preferred_element_type=jnp.float32)
         w = jax.nn.softmax(logits, axis=-1)              # (B, H, T, Ta)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(vh.dtype), vh,
+        out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cv.dtype), cv,
                          preferred_element_type=jnp.float32).astype(h.dtype)
         h = h + _linear(_merge_heads(out), block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
@@ -1138,9 +1188,9 @@ def greedy_decode_timestamps(
     """
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
-    t_max = cache.k.shape[2]
+    t_max = cache.k.shape[3]
     ts_begin = layout.timestamp_begin
-    cross_kv = precompute_cross_kv(params, enc_out)
+    cross_kv = precompute_cross_kv(params, enc_out, n_head)
     rules = _ts_rules(config, max_initial_timestamp)
     base_mask = jnp.asarray(_ts_base_mask(config))
     begin_blank = jnp.zeros(
@@ -1370,13 +1420,13 @@ def _beam_decode_pooled(
             *ts_state,
         )
 
-        def reorder_cache(x):  # (L, B*K, T, d)
-            l, _, t, d = x.shape
-            x = x.reshape(l, b, k, t, d)
+        def reorder_cache(x):  # (L, B*K, H, T, Dh)
+            l, _, h, t, dh = x.shape
+            x = x.reshape(l, b, k, h, t, dh)
             x = jnp.take_along_axis(
-                x, live_parent[None, :, :, None, None], axis=2
+                x, live_parent[None, :, :, None, None, None], axis=2
             )
-            return x.reshape(l, bk, t, d)
+            return x.reshape(l, bk, h, t, dh)
 
         cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
         return (tokens, cache, sum_lp, pos + 1, pool_lp, pool_tokens,
@@ -1468,12 +1518,12 @@ def beam_decode(
     b, p_len = prompt.shape
     k = beam_size
     bk = b * k
-    t_max = cache.k.shape[2]
+    t_max = cache.k.shape[3]
     v = config.n_vocab
 
     # replicate encoder states / prompts across beams: row order (B, K)
     enc_bk = jnp.repeat(enc_out, k, axis=0)            # (B*K, T_a, d)
-    cross_kv = precompute_cross_kv(params, enc_bk)
+    cross_kv = precompute_cross_kv(params, enc_bk, n_head)
     if with_timestamps:
         ts_rules = _ts_rules(config, max_initial_timestamp)
         suppress = jnp.asarray(_ts_base_mask(config))
@@ -1607,13 +1657,13 @@ def beam_decode(
         new_tok_is_eot = new_tok == layout.eot
         finished = jnp.logical_or(finished, new_tok_is_eot)
 
-        def reorder_cache(x):  # (L, B*K, T, d)
-            l, _, t, d = x.shape
-            x = x.reshape(l, b, k, t, d)
+        def reorder_cache(x):  # (L, B*K, H, T, Dh)
+            l, _, h, t, dh = x.shape
+            x = x.reshape(l, b, k, h, t, dh)
             x = jnp.take_along_axis(
-                x, parent[None, :, :, None, None], axis=2
+                x, parent[None, :, :, None, None, None], axis=2
             )
-            return x.reshape(l, bk, t, d)
+            return x.reshape(l, bk, h, t, dh)
 
         cache = KVCache(reorder_cache(cache.k), reorder_cache(cache.v))
         return tokens, cache, top_vals, pos + 1, finished, seen, ts_state
@@ -1668,7 +1718,7 @@ def detect_language(
     """Return (B, n_langs) language probabilities from the sot logits."""
     layout = token_layout(config.n_vocab)
     b = enc_out.shape[0]
-    cross_kv = precompute_cross_kv(params, enc_out)
+    cross_kv = precompute_cross_kv(params, enc_out, n_head)
     cache = init_kv_cache(config, b, 4, dtype=enc_out.dtype)
     sot = jnp.full((b,), layout.sot, jnp.int32)
     logits, _ = _decoder_step(params, sot, 0, cache, cross_kv, n_head, 0)
