@@ -683,6 +683,7 @@ class WhisperEngine:
                             else self.config)).encode())
         h.update(str(self._dtype).encode())
         h.update(b"pallas" if self._use_pallas else b"xla")
+        h.update(W.CROSS_KV_DTYPE.encode())  # env-traced storage policy
         root = Path(__file__).resolve().parents[1]
         for rel in self._EXEC_SRC_FILES:
             try:

