@@ -683,7 +683,9 @@ class WhisperEngine:
                             else self.config)).encode())
         h.update(str(self._dtype).encode())
         h.update(b"pallas" if self._use_pallas else b"xla")
-        h.update(W.CROSS_KV_DTYPE.encode())  # env-traced storage policy
+        # env-traced storage policies
+        h.update(W.CROSS_KV_DTYPE.encode())
+        h.update(W.SELF_KV_DTYPE.encode())
         root = Path(__file__).resolve().parents[1]
         for rel in self._EXEC_SRC_FILES:
             try:
@@ -753,8 +755,9 @@ class WhisperEngine:
         cache_shape = W.kv_cache_shape(
             self.config, batch_n * beam, p_len + max_new
         )
+        cache_dtype = W.kv_cache_dtype(self._dtype)
         cache = W.KVCache(
-            sds(cache_shape, self._dtype), sds(cache_shape, self._dtype)
+            sds(cache_shape, cache_dtype), sds(cache_shape, cache_dtype)
         )
         compiled = _serve_step.lower(
             self.params, rows, prompt, prompt_len, auto_mask, None, cache,

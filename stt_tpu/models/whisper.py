@@ -488,10 +488,26 @@ def kv_cache_shape(
     return (config.n_text_layer, batch, h, max_len, config.n_text_state // h)
 
 
+# Self-KV cache storage: same bandwidth argument as the cross-KV (below)
+# but a smaller term (the self cache is T_max<=228 slots vs 1500 audio
+# frames). Experimentally gated, default bf16.
+SELF_KV_DTYPE = os.getenv("STT_SELF_KV_DTYPE", "bf16").strip().lower()
+
+
+def kv_cache_dtype(compute_dtype):
+    """Storage dtype of the self-KV cache for a given compute dtype."""
+    if SELF_KV_DTYPE in ("fp8", "f8", "float8", "fp8_e4m3") and (
+        compute_dtype == jnp.bfloat16
+    ):
+        return jnp.float8_e4m3fn
+    return compute_dtype
+
+
 def init_kv_cache(
     config: WhisperConfig, batch: int, max_len: int, dtype=jnp.float32
 ) -> KVCache:
     shape = kv_cache_shape(config, batch, max_len)
+    dtype = kv_cache_dtype(dtype)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
