@@ -65,6 +65,10 @@ DEFAULT_SPEECH_RMS_THRESHOLD = 0.02
 # where VAD frames are scored: "auto" = one jitted cross-session batch per
 # tick on non-CPU servers, host numpy on CPU; "host" forces numpy;
 # "device" forces the batched path everywhere
+# "auto" == host scoring: on a shared serving chip, VAD dispatches queue
+# behind long decode dispatches and stall the stream path (measured).
+# "device" opts into the batched cross-session device scorer for
+# deployments with a dedicated chip for the control plane.
 DEFAULT_VAD_DEVICE = "auto"
 # optional local Silero-VAD ONNX file (learned VAD; probability scale
 # differs from the built-in DSP VAD - re-tune vad_threshold on switch)

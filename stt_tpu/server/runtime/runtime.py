@@ -89,10 +89,15 @@ class ApplicationRuntime:
             # learned Silero VAD from a local ONNX file (reference
             # vad_gate.py:235-247 loads Silero ONNX/TorchScript)
             self.vad_model_pool.set_silero_model(config.vad_model_path)
-        elif config.vad_device == "device" or (
-            config.vad_device == "auto" and config.device not in ("cpu",)
-        ):
-            # one jitted cross-session batch per tick (SURVEY §7 step 4)
+        elif config.vad_device == "device":
+            # One jitted cross-session batch per tick (SURVEY §7 step 4).
+            # Explicit opt-in only: on a SHARED serving chip the tiny VAD
+            # dispatches queue behind 0.2-1.5 s decode dispatches, which
+            # stalls chunk processing and was measured to multiply
+            # first-partial/final latencies ~5x (round 2, 16 paced
+            # streams). "auto" therefore resolves to host scoring — the
+            # per-session numpy path costs microseconds per 100 ms chunk —
+            # and "device" remains for deployments with a chip to spare.
             from ..component.vad_scorer import BatchedVadScorer
 
             self._vad_scorer = BatchedVadScorer()
