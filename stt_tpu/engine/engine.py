@@ -266,7 +266,11 @@ def _mel_encode(
 
     Host<->device round-trips are expensive (especially over a tunneled
     device); fusing the front end into the encoder program halves the
-    dispatch count of the hot path."""
+    dispatch count of the hot path. ``rows`` may be int16 PCM (the wire
+    format — the engine ships PCM16 to the device and converts there,
+    halving the dominant host->device transfer) or float32."""
+    if rows.dtype == jnp.int16:
+        rows = rows.astype(jnp.float32) * (1.0 / 32768.0)
     mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
     return W.encode(params, mel, n_head)
 
@@ -355,30 +359,27 @@ def _sample_packed(
 
 @partial(
     jax.jit,
-    static_argnames=("n_head_audio", "n_head_text", "n_mels", "dtype",
-                     "max_new_tokens", "config", "use_pallas", "beam_size",
-                     "with_timestamps", "detect", "lang_pos", "patience",
-                     "length_penalty", "suppress_blank", "ngram_n"),
+    static_argnames=("n_head_text", "max_new_tokens", "config",
+                     "beam_size", "with_timestamps", "detect", "lang_pos",
+                     "patience", "length_penalty", "suppress_blank",
+                     "ngram_n"),
     donate_argnames=("cache",),
 )
-def _serve_step(
-    params, rows, prompt, prompt_len, auto_mask, rep_penalty, cache,
+def _decode_serve(
+    params, enc, prompt, prompt_len, auto_mask, rep_penalty, cache,
     config,
-    n_head_audio: int, n_head_text: int, n_mels: int, dtype,
-    max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
+    n_head_text: int, max_new_tokens: int, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
     patience: float = 1.0, length_penalty: float = 1.0,
     suppress_blank: bool = True, ngram_n: int = 0,
 ) -> jnp.ndarray:
-    """Whole serving step in ONE dispatch: log-mel -> encoder ->
-    (optional language detection, folded on-device) -> decode -> packed
-    outputs. With ``detect=True``, rows flagged by ``auto_mask`` get
-    their prompt's language slot (``prompt[:, lang_pos]``) overwritten
-    with the argmax detected language before decoding — no host
-    round-trip between encode and decode. The detected language index
-    and probability ride home in the packed array's last two columns."""
-    mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
-    enc = W.encode(params, mel, n_head_audio)
+    """(Optional on-device language detection) -> decode -> packed
+    outputs, from a precomputed encoder output. With ``detect=True``,
+    rows flagged by ``auto_mask`` get their prompt's language slot
+    (``prompt[:, lang_pos]``) overwritten with the argmax detected
+    language before decoding — no host round-trip between encode and
+    decode. The detected language index and probability ride home in the
+    packed array's last two columns."""
     layout = W.token_layout(config.n_vocab)
     given_idx = prompt[:, lang_pos] - layout.lang_begin
     if detect:
@@ -398,6 +399,36 @@ def _serve_step(
         sot_pos=lang_pos - 1,
     )
     return _pack_result(res, lang_idx, lang_p)
+
+
+def _serve_step(
+    params, rows, prompt, prompt_len, auto_mask, rep_penalty, cache,
+    config,
+    n_head_audio: int, n_head_text: int, n_mels: int, dtype,
+    max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
+    with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
+    patience: float = 1.0, length_penalty: float = 1.0,
+    suppress_blank: bool = True, ngram_n: int = 0,
+) -> jnp.ndarray:
+    """Whole serving step as TWO async dispatches: the mel+encoder
+    program, then the detect+decode+pack program.
+
+    This was ONE fused dispatch through round 2; profiling showed the
+    mega-program's decode while-loop ran ~2.5x slower than the same loop
+    compiled standalone (XLA schedules/fuses the loop body worse with the
+    encoder live in the same program), costing ~0.8 s per 64x10s batch —
+    orders of magnitude more than the extra program-launch. The encoder
+    output never touches the host; both dispatches queue back-to-back."""
+    enc = _mel_encode(params, rows, n_head_audio, n_mels, dtype, use_pallas)
+    return _decode_serve(
+        params, enc, prompt, prompt_len, auto_mask, rep_penalty, cache,
+        config,
+        n_head_text=n_head_text, max_new_tokens=max_new_tokens,
+        beam_size=beam_size, with_timestamps=with_timestamps,
+        detect=detect, lang_pos=lang_pos, patience=patience,
+        length_penalty=length_penalty, suppress_blank=suppress_blank,
+        ngram_n=ngram_n,
+    )
 
 
 class WhisperEngine:
@@ -714,6 +745,10 @@ class WhisperEngine:
     def _serve_exec_key(bucket_sec: float, batch_n: int, beam: int) -> str:
         return f"serve_b{bucket_sec:g}_n{batch_n}_beam{beam}"
 
+    @staticmethod
+    def _enc_exec_key(bucket_sec: float, batch_n: int) -> str:
+        return f"enc_b{bucket_sec:g}_n{batch_n}"
+
     def _exec_usable(self) -> bool:
         """Deserialized executables bind to the process default devices;
         replica engines pinned to a non-default device or a mesh must keep
@@ -731,24 +766,34 @@ class WhisperEngine:
         compile, so this construction mirrors ``_device_phase``."""
         import logging
 
-        key = self._serve_exec_key(bucket_sec, batch_n, beam)
+        log = logging.getLogger("stt_tpu")
+        enc_key = self._enc_exec_key(bucket_sec, batch_n)
+        dec_key = self._serve_exec_key(bucket_sec, batch_n, beam)
         use_exec = self._exec_usable()
-        if use_exec:
+
+        def have(key):
+            if not use_exec:
+                return False
             if key in self._serve_exec:
-                return
+                return True
             t0 = time.monotonic()
             if self._load_exec(key) is not None:
-                logging.getLogger("stt_tpu").info(
-                    "exec cache hit %s (%.2fs)", key, time.monotonic() - t0
-                )
-                return
-            logging.getLogger("stt_tpu").info("exec cache miss %s", key)
+                log.info("exec cache hit %s (%.2fs)", key,
+                         time.monotonic() - t0)
+                return True
+            log.info("exec cache miss %s", key)
+            return False
+
+        need_enc = not have(enc_key)
+        need_dec = not have(dec_key)
+        if use_exec and not need_enc and not need_dec:
+            return
         sds = jax.ShapeDtypeStruct
         bucket_samples = int(bucket_sec * SAMPLE_RATE)
         bucket_samples -= bucket_samples % HOP_LENGTH
         p_len = len(W.build_prompt(self.config, "en"))
         max_new = self._max_new_for(bucket_sec)
-        rows = sds((batch_n, bucket_samples), jnp.float32)
+        rows = sds((batch_n, bucket_samples), jnp.int16)
         prompt = sds((batch_n, p_len), jnp.int32)
         prompt_len = sds((batch_n,), jnp.int32)
         auto_mask = sds((batch_n,), jnp.bool_)
@@ -759,27 +804,36 @@ class WhisperEngine:
         cache = W.KVCache(
             sds(cache_shape, cache_dtype), sds(cache_shape, cache_dtype)
         )
-        compiled = _serve_step.lower(
-            self.params, rows, prompt, prompt_len, auto_mask, None, cache,
-            self.config,
-            n_head_audio=self.config.n_audio_head,
-            n_head_text=self.config.n_text_head,
-            n_mels=self.config.n_mels,
-            dtype=self._dtype,
-            max_new_tokens=max_new,
-            use_pallas=self._use_pallas,
-            beam_size=beam,
-            with_timestamps=False,
-            detect=True,
-            lang_pos=1,
-            patience=1.0,
-            length_penalty=1.0,
-            suppress_blank=True,
-            ngram_n=0,
-        ).compile()
-        if use_exec:
-            self._serve_exec[key] = compiled
-            self._store_exec(key, compiled)
+        enc_args = (rows, self.config.n_audio_head, self.config.n_mels,
+                    self._dtype, self._use_pallas)
+        enc_aval = jax.eval_shape(
+            lambda r: _mel_encode(self.params, r, *enc_args[1:]), rows
+        )
+        if need_enc:
+            enc_compiled = _mel_encode.lower(
+                self.params, *enc_args
+            ).compile()
+            if use_exec:
+                self._serve_exec[enc_key] = enc_compiled
+                self._store_exec(enc_key, enc_compiled)
+        if need_dec:
+            dec_compiled = _decode_serve.lower(
+                self.params, enc_aval, prompt, prompt_len, auto_mask, None,
+                cache, self.config,
+                n_head_text=self.config.n_text_head,
+                max_new_tokens=max_new,
+                beam_size=beam,
+                with_timestamps=False,
+                detect=True,
+                lang_pos=1,
+                patience=1.0,
+                length_penalty=1.0,
+                suppress_blank=True,
+                ngram_n=0,
+            ).compile()
+            if use_exec:
+                self._serve_exec[dec_key] = dec_compiled
+                self._store_exec(dec_key, dec_compiled)
 
     def _load_exec(self, key: str):
         """Deserialize one stored executable; None on any miss/failure."""
@@ -1171,7 +1225,12 @@ class WhisperEngine:
         bucket_samples -= bucket_samples % HOP_LENGTH
         batch_n = self._batch_bucket(n)
 
-        rows = np.zeros((batch_n, bucket_samples), np.float32)
+        # rows ship as int16 PCM: the audio entered the server as PCM16 off
+        # the wire, so the int16 grid is exact for the serving path, and it
+        # HALVES the host->device transfer — the dominant per-dispatch cost
+        # on tunneled devices (measured ~1 s/round for 64x10s f32 rows).
+        # The device converts back to f32 inside _mel_encode.
+        rows = np.zeros((batch_n, bucket_samples), np.int16)
         durations = []
         for i, task in enumerate(group):
             audio = task.request.audio
@@ -1184,7 +1243,9 @@ class WhisperEngine:
                 # audio. FINALS never reach this — they route through the
                 # sequential seek loop (_run_long) instead.
                 audio = audio[-bucket_samples:]
-            rows[i, : len(audio)] = audio
+            rows[i, : len(audio)] = np.clip(
+                audio * 32768.0, -32768, 32767
+            ).astype(np.int16)
             durations.append(len(audio) / SAMPLE_RATE)
 
         # NB: do NOT wrap this in jax.default_device(...) — on the axon TPU
@@ -1248,15 +1309,19 @@ class WhisperEngine:
         # canonical-option groups (the hot serving path) run through the
         # prewarmed executable table: no jit trace/dispatch, and after a
         # warm reboot the executable was deserialized, not recompiled
-        exec_key = self._serve_exec_key(bucket_sec, batch_n, beam)
+        enc_key = self._enc_exec_key(bucket_sec, batch_n)
+        dec_key = self._serve_exec_key(bucket_sec, batch_n, beam)
         canonical = (
             rep_dev is None and not with_ts and lang_pos == 1
             and patience == 1.0 and len_pen == 1.0 and sb and ng == 0
             and p_len == len(W.build_prompt(self.config, "en"))
         )
-        if canonical and exec_key in self._serve_exec:
-            packed = self._serve_exec[exec_key](
-                self.params, rows_dev, prompt_dev, prompt_len_dev,
+        if (canonical and enc_key in self._serve_exec
+                and dec_key in self._serve_exec):
+            # two async dispatches; enc output stays on device
+            enc = self._serve_exec[enc_key](self.params, rows_dev)
+            packed = self._serve_exec[dec_key](
+                self.params, enc, prompt_dev, prompt_len_dev,
                 auto_dev, None, cache,
             )
         else:

@@ -421,8 +421,9 @@ def test_prewarm_aot_mode():
     elapsed = eng.prewarm(batch_sizes=[1, 2], include_detect=True,
                           beam_sizes=[1, 2], parallelism=4, mode="aot")
     assert elapsed > 0
-    # every (bucket, batch, beam) combo landed in the executable table
-    assert len(eng._serve_exec) == 2 * 2 * 2
+    # every (bucket, batch, beam) decode program + every (bucket, batch)
+    # encoder program landed in the executable table
+    assert len(eng._serve_exec) == 2 * 2 * 2 + 2 * 2
     out = eng.transcribe_sync(_req(seed=22))
     assert out.info.language == "en"
     auto = eng.transcribe_sync(_req(seed=22, language=None))
@@ -530,7 +531,7 @@ def test_aot_placeholders_match_runtime_shapes():
     from stt_tpu.ops.mel import HOP_LENGTH, SAMPLE_RATE
     samples = int(bucket * SAMPLE_RATE)
     samples -= samples % HOP_LENGTH
-    aot_rows = jax.ShapeDtypeStruct((1, samples), "float32")
+    aot_rows = jax.ShapeDtypeStruct((1, samples), "int16")
     assert real_avals[0].shape == aot_rows.shape
     assert str(real_avals[0].dtype) == str(aot_rows.dtype)
     eng.close()
