@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from concurrent import futures
@@ -101,6 +102,21 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    # persistent XLA cache: repeated bench runs skip the HLO->TPU compile
+    # (the serve programs take minutes to compile on small hosts)
+    cache_dir = os.getenv("STT_XLA_CACHE_DIR", "").strip() or os.path.join(
+        os.path.expanduser("~"), ".cache", "stt_tpu_xla"
+    )
+    if cache_dir.lower() != "off":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            pass
 
     from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
 
