@@ -699,7 +699,7 @@ class WhisperEngine:
     # executables can never be loaded after a code or topology change.
 
     _EXEC_SRC_FILES = ("engine/engine.py", "models/whisper.py", "ops/mel.py",
-                      "ops/resample.py")
+                       "ops/resample.py", "ops/pallas/mel.py")
 
     def _exec_fingerprint(self) -> str:
         import hashlib
