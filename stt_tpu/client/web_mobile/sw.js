@@ -1,6 +1,7 @@
 /* Minimal offline shell cache for the PWA. */
 const CACHE = "stt-shell-v1";
-const SHELL = ["./", "index.html", "app.js", "styles.css", "manifest.json"];
+const SHELL = ["./", "index.html", "app.js", "styles.css", "manifest.json",
+               "icons/icon-192.svg", "icons/icon-512.svg"];
 self.addEventListener("install", (e) => {
   e.waitUntil(caches.open(CACHE).then((c) => c.addAll(SHELL)));
 });

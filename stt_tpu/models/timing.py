@@ -45,26 +45,41 @@ def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
 
 def dtw_path(cost: np.ndarray):
     """Monotonic DTW over a (N, M) cost matrix; steps (1,0), (0,1), (1,1).
-    Returns (text_indices, time_indices) of the optimal path."""
+    Returns (text_indices, time_indices) of the optimal path.
+
+    The DP is vectorized over anti-diagonals (cells with i+j == d depend
+    only on diagonals d-1 and d-2), so the inner work is numpy over up to
+    min(N, M) cells instead of N*M Python iterations — a ~224x1500
+    alignment drops from hundreds of ms to a few ms of host time, which
+    matters because this runs serialized inside the engine loop."""
     n, m = cost.shape
-    acc = np.full((n + 1, m + 1), np.inf, np.float64)
-    acc[0, 0] = 0.0
     trace = np.zeros((n + 1, m + 1), np.int8)
-    for i in range(1, n + 1):
-        row_cost = cost[i - 1]
-        for j in range(1, m + 1):
-            c0 = acc[i - 1, j - 1]
-            c1 = acc[i - 1, j]
-            c2 = acc[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
-                acc[i, j] = c0 + row_cost[j - 1]
-                trace[i, j] = 0
-            elif c1 <= c2:
-                acc[i, j] = c1 + row_cost[j - 1]
-                trace[i, j] = 1
-            else:
-                acc[i, j] = c2 + row_cost[j - 1]
-                trace[i, j] = 2
+    # diagonal d holds acc[i, d - i], indexed by i; rows/cols 0 are +inf
+    # boundaries except acc[0, 0] = 0
+    prev2 = np.full(n + 1, np.inf, np.float64)  # diagonal d-2
+    prev1 = np.full(n + 1, np.inf, np.float64)  # diagonal d-1
+    prev2[0] = 0.0                              # acc[0, 0]
+    cost64 = cost.astype(np.float64, copy=False)
+    for d in range(2, n + m + 1):
+        i_lo, i_hi = max(1, d - m), min(n, d - 1)
+        cur = np.full(n + 1, np.inf, np.float64)
+        if i_lo <= i_hi:
+            i = np.arange(i_lo, i_hi + 1)
+            j = d - i
+            c0 = prev2[i - 1]   # acc[i-1, j-1]
+            c1 = prev1[i - 1]   # acc[i-1, j]
+            c2 = prev1[i]       # acc[i, j-1]
+            # tie-break identical to the scalar version: prefer the
+            # diagonal step, then (1,0), then (0,1)
+            d01 = c0 <= c1
+            best01 = np.where(d01, c0, c1)
+            t01 = np.where(d01, 0, 1)
+            use01 = best01 <= c2
+            best = np.where(use01, best01, c2)
+            t = np.where(use01, t01, 2).astype(np.int8)
+            cur[i] = best + cost64[i - 1, j - 1]
+            trace[i, j] = t
+        prev2, prev1 = prev1, cur
     i, j = n, m
     text_idx: List[int] = []
     time_idx: List[int] = []

@@ -244,16 +244,24 @@ class FallbackTokenizer:
         return "".join(parts)
 
 
-def load_tokenizer(path: Optional[str], n_vocab: int):
+def load_tokenizer(
+    path: Optional[str], n_vocab: int, *, require_real: bool = False
+):
     """Real tokenizer from a local file/dir when present, else the fallback.
 
     ``path`` may be a directory (an HF checkpoint or tokenizer dir — the
     usual case, searched in preference order: tokenizer.json,
     vocab.json+merges.txt, ``*.tiktoken``) or a direct path to a
-    ``tokenizer.json`` / ``*.tiktoken`` file. Any load failure falls back
-    rather than taking the server down — the fallback keeps every
-    control-plane behavior working, only transcript text from real
-    weights would be approximate (and that is loudly logged).
+    ``tokenizer.json`` / ``*.tiktoken`` file.
+
+    ``require_real=True`` (set by the engine whenever REAL weights are
+    loaded) turns the fallback into a hard error: serving a genuine
+    checkpoint through the byte-fallback tokenizer would produce
+    confidently wrong transcripts, so a checkpoint dir missing its vocab
+    must fail at engine construction, exactly as the reference backends
+    cannot start without their tokenizer assets (faster_whisper/openai
+    load it with the model). ``STT_ALLOW_FALLBACK_TOKENIZER=1`` opts out
+    for hermetic tests that pair synthetic safetensors with no vocab.
     """
     try:
         if path and os.path.isfile(path):
@@ -273,7 +281,23 @@ def load_tokenizer(path: Optional[str], n_vocab: int):
             if tk:
                 return TiktokenTokenizer(tk[0], n_vocab)
     except Exception:
+        if require_real and os.getenv(
+            "STT_ALLOW_FALLBACK_TOKENIZER", ""
+        ).strip() not in ("1", "true", "yes"):
+            raise
         LOGGER.exception("tokenizer load failed for %r; using fallback", path)
+    if require_real and os.getenv(
+        "STT_ALLOW_FALLBACK_TOKENIZER", ""
+    ).strip() not in ("1", "true", "yes"):
+        raise FileNotFoundError(
+            f"real weights were loaded but no tokenizer vocab was found "
+            f"under {path!r} (looked for tokenizer.json, "
+            f"vocab.json+merges.txt, *.tiktoken); refusing to serve a "
+            f"genuine checkpoint through the byte-fallback tokenizer. "
+            f"Add the vocab files to the checkpoint dir, point "
+            f"tokenizer_path at them, or set "
+            f"STT_ALLOW_FALLBACK_TOKENIZER=1 (hermetic tests only)."
+        )
     if path:
         LOGGER.warning(
             "no tokenizer vocab found under %r; using the byte-fallback "

@@ -1191,7 +1191,11 @@ class StreamOrchestrator:
                     _json.dumps(
                         [[round(ws, 3), round(we, 3), wt]
                          for ws, we, wt in words],
-                        ensure_ascii=False, separators=(",", ":"),
+                        # gRPC non-'-bin' metadata values must be ASCII;
+                        # \uXXXX escapes keep non-English words valid
+                        # (grpc-python validates at RPC termination, so a
+                        # bad value would drop the whole trailing block)
+                        ensure_ascii=True, separators=(",", ":"),
                     ),
                 ))
             try:

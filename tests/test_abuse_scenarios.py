@@ -41,27 +41,17 @@ def _free_port() -> int:
 @pytest.fixture(scope="module")
 def abuse_server():
     grpc_port, http_port = _free_port(), _free_port()
-    config = {
-        "server": {
-            "port": grpc_port,
-            "metrics_port": http_port,
-            "ws_port": 0,
-            "create_session_rps": 5.0,
-            "create_session_burst": 5.0,
-            "max_sessions_per_ip": 6,
-            "max_audio_seconds_per_session": 8.0,
-            "max_audio_bytes_per_sec": 0,
-            "max_buffer_sec": 1.0,
-            "max_total_buffer_bytes": 1_048_576,
-            "max_pending_decodes_per_stream": 2,
-            "max_pending_decodes_global": 16,
-            "partial_decode_interval_sec": 0.2,
-            "partial_decode_window_sec": 1.0,
-            "buffer_overlap_sec": 0.0,
-            "vad_threshold": 0.9,  # noise should rarely look like speech
-            "speech_rms_threshold": 0.0,
-        }
-    }
+    # base profile = the SHIPPED operator backpressure config (so the file
+    # operators tune from is the one CI exercises); only ports are local
+    with open(
+        REPO_ROOT / "config" / "loadtest" / "bench_backpressure.yaml"
+    ) as fh:
+        config = yaml.safe_load(fh)
+    config["server"].update({
+        "port": grpc_port,
+        "metrics_port": http_port,
+        "ws_port": 0,
+    })
     with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as fh:
         yaml.safe_dump(config, fh)
         config_path = fh.name

@@ -201,6 +201,9 @@ def test_serving_from_hf_checkpoint_dir(tmp_path):
     grpc_port, http_port = _free_port(), _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the exported checkpoint has no vocab files; real-weights serving
+    # hard-fails on the fallback tokenizer unless explicitly allowed
+    env["STT_ALLOW_FALLBACK_TOKENIZER"] = "1"
     proc = subprocess.Popen(
         [
             sys.executable, "-m", "stt_tpu.server.main",

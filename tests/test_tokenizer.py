@@ -170,6 +170,47 @@ def test_load_tokenizer_corrupt_file_falls_back(tmp_path):
     assert isinstance(tok, FallbackTokenizer)
 
 
+def test_require_real_hard_fails_without_vocab(tmp_path, monkeypatch):
+    """Real weights + no vocab must raise at load, not warn (a production
+    misconfiguration would otherwise serve confidently wrong text)."""
+    import pytest
+
+    monkeypatch.delenv("STT_ALLOW_FALLBACK_TOKENIZER", raising=False)
+    with pytest.raises(FileNotFoundError):
+        load_tokenizer(str(tmp_path), 51865, require_real=True)
+    # corrupt vocab with require_real also raises (not silently fallback)
+    (tmp_path / "tokenizer.json").write_text("{not json")
+    with pytest.raises(Exception):
+        load_tokenizer(str(tmp_path), 51865, require_real=True)
+
+
+def test_require_real_env_opt_out(tmp_path, monkeypatch):
+    monkeypatch.setenv("STT_ALLOW_FALLBACK_TOKENIZER", "1")
+    tok = load_tokenizer(str(tmp_path), 51865, require_real=True)
+    assert isinstance(tok, FallbackTokenizer)
+
+
+def test_engine_hard_fails_real_weights_no_vocab(tmp_path, monkeypatch):
+    """The engine ctor surfaces the tokenizer hard-fail when weights_path
+    is set and the checkpoint dir carries no vocab files."""
+    import pytest
+
+    from stt_tpu.models.whisper import get_config, init_params
+    from stt_tpu.parallel.checkpoint import export_hf_safetensors
+    from stt_tpu.engine.engine import WhisperEngine
+
+    monkeypatch.delenv("STT_ALLOW_FALLBACK_TOKENIZER", raising=False)
+    config = get_config("test")
+    params = init_params(config, seed=1)
+    ckpt = tmp_path / "ckpt"
+    export_hf_safetensors(str(ckpt), params, config)
+    with pytest.raises(FileNotFoundError):
+        WhisperEngine(
+            "test", device="cpu", compute_type="float32",
+            weights_path=str(ckpt),
+        )
+
+
 def test_engine_uses_weights_dir_for_tokenizer(tmp_path):
     """A checkpoint dir with tokenizer files yields a REAL tokenizer even
     when tokenizer_path is not given (HF checkpoints ship both)."""
