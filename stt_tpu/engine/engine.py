@@ -306,30 +306,33 @@ def _pack_result(res, lang_idx=None, lang_p=None) -> jnp.ndarray:
 
 
 def _decode_best(
-    params, enc, prompt, prompt_len, cache, config, n_head: int,
+    params, enc, prompt, prompt_len, config, n_head: int,
     max_new_tokens: int, beam_size: int, with_timestamps: bool = False,
     patience: float = 1.0, length_penalty: float = 1.0,
     suppress_blank: bool = True, rep_penalty=None, ngram_n: int = 0,
     sot_pos: int = 0,
 ):
     """Greedy for beam_size==1, fixed-width beam search otherwise
-    (the `accurate` profile). ``cache`` must hold B*beam_size rows.
-    ``with_timestamps`` applies the openai timestamp grammar in either
-    decoder — beam search keeps its width with timestamps on, matching
-    faster_whisper (whose default is timestamps WITH beam search)."""
+    (the `accurate` profile). The KV cache is allocated in-trace by the
+    decoder (scratch, not an input — a host-side cache could never be
+    donated because the program does not return it, so XLA copied it
+    every dispatch). ``with_timestamps`` applies the openai timestamp
+    grammar in either decoder — beam search keeps its width with
+    timestamps on, matching faster_whisper (whose default is timestamps
+    WITH beam search)."""
     if with_timestamps and beam_size <= 1:
         return W.greedy_decode_timestamps(
-            params, enc, prompt, prompt_len, cache, config, n_head,
+            params, enc, prompt, prompt_len, None, config, n_head,
             max_new_tokens, sot_pos=sot_pos,
         )
     if beam_size <= 1:
         return W.greedy_decode(
-            params, enc, prompt, prompt_len, cache, config, n_head,
+            params, enc, prompt, prompt_len, None, config, n_head,
             max_new_tokens, suppress_blank=suppress_blank,
             rep_penalty=rep_penalty, ngram_n=ngram_n, sot_pos=sot_pos,
         )
     return W.beam_decode(
-        params, enc, prompt, prompt_len, cache, config, n_head,
+        params, enc, prompt, prompt_len, None, config, n_head,
         max_new_tokens, beam_size=beam_size, patience=patience,
         length_penalty=length_penalty, suppress_blank=suppress_blank,
         rep_penalty=rep_penalty, ngram_n=ngram_n,
@@ -341,15 +344,14 @@ def _decode_best(
     jax.jit,
     static_argnames=("n_head", "max_new_tokens", "config",
                      "suppress_blank", "ngram_n"),
-    donate_argnames=("cache",),
 )
 def _sample_packed(
-    params, enc, prompt, prompt_len, cache, config, n_head: int,
+    params, enc, prompt, prompt_len, config, n_head: int,
     max_new_tokens: int, temperature, rng, suppress_blank: bool = True,
     rep_penalty=None, ngram_n: int = 0, sot_pos=None,
 ) -> jnp.ndarray:
     res = W.sample_decode(
-        params, enc, prompt, prompt_len, cache, config, n_head,
+        params, enc, prompt, prompt_len, None, config, n_head,
         max_new_tokens, temperature=temperature, rng=rng,
         suppress_blank=suppress_blank, rep_penalty=rep_penalty,
         ngram_n=ngram_n, sot_pos=sot_pos,
@@ -363,10 +365,9 @@ def _sample_packed(
                      "beam_size", "with_timestamps", "detect", "lang_pos",
                      "patience", "length_penalty", "suppress_blank",
                      "ngram_n"),
-    donate_argnames=("cache",),
 )
 def _decode_serve(
-    params, enc, prompt, prompt_len, auto_mask, rep_penalty, cache,
+    params, enc, prompt, prompt_len, auto_mask, rep_penalty,
     config,
     n_head_text: int, max_new_tokens: int, beam_size: int = 1,
     with_timestamps: bool = False, detect: bool = False, lang_pos: int = 1,
@@ -393,7 +394,7 @@ def _decode_serve(
         lang_idx = given_idx
         lang_p = jnp.ones_like(given_idx, jnp.float32)
     res = _decode_best(
-        params, enc, prompt, prompt_len, cache, config, n_head_text,
+        params, enc, prompt, prompt_len, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
         length_penalty, suppress_blank, rep_penalty, ngram_n,
         sot_pos=lang_pos - 1,
@@ -402,7 +403,7 @@ def _decode_serve(
 
 
 def _serve_step(
-    params, rows, prompt, prompt_len, auto_mask, rep_penalty, cache,
+    params, rows, prompt, prompt_len, auto_mask, rep_penalty,
     config,
     n_head_audio: int, n_head_text: int, n_mels: int, dtype,
     max_new_tokens: int, use_pallas: bool = False, beam_size: int = 1,
@@ -421,7 +422,7 @@ def _serve_step(
     output never touches the host; both dispatches queue back-to-back."""
     enc = _mel_encode(params, rows, n_head_audio, n_mels, dtype, use_pallas)
     return _decode_serve(
-        params, enc, prompt, prompt_len, auto_mask, rep_penalty, cache,
+        params, enc, prompt, prompt_len, auto_mask, rep_penalty,
         config,
         n_head_text=n_head_text, max_new_tokens=max_new_tokens,
         beam_size=beam_size, with_timestamps=with_timestamps,
@@ -529,7 +530,15 @@ class WhisperEngine:
         self._queue: "queue.Queue[Optional[_Task]]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        self._closing = False
         self._lock = threading.Lock()
+        # long finals run their sequential seek loop on side threads,
+        # submitting each window back through the queue as an ordinary
+        # request — so one hour-long transcription never head-of-line
+        # blocks every other session's partials on the engine thread
+        # (ADVICE r2 medium; reference keeps serving from other pool
+        # workers during a long decode, model_registry.py:564-606)
+        self._long_pool = None
 
         # opt-in XLA profiling (SURVEY.md §5: keep the phase taxonomy, add
         # jax.profiler hooks): STT_JAX_PROFILE_DIR=/path captures traces of
@@ -582,10 +591,17 @@ class WhisperEngine:
             if not self._running:
                 return
             self._running = False
+            self._closing = True
         self._queue.put(None)
         if self._thread:
             self._thread.join(timeout=30)
             self._thread = None
+        if self._long_pool is not None:
+            # in-flight seek loops notice _closing at their next window
+            # wait and error out; then the pool can join
+            self._long_pool.shutdown(wait=True)
+            self._long_pool = None
+        self._closing = False
 
     def submit(
         self,
@@ -801,13 +817,6 @@ class WhisperEngine:
         prompt = sds((batch_n, p_len), jnp.int32)
         prompt_len = sds((batch_n,), jnp.int32)
         auto_mask = sds((batch_n,), jnp.bool_)
-        cache_shape = W.kv_cache_shape(
-            self.config, batch_n * beam, p_len + max_new
-        )
-        cache_dtype = W.kv_cache_dtype(self._dtype)
-        cache = W.KVCache(
-            sds(cache_shape, cache_dtype), sds(cache_shape, cache_dtype)
-        )
         enc_args = (rows, self.config.n_audio_head, self.config.n_mels,
                     self._dtype, self._use_pallas)
         enc_aval = jax.eval_shape(
@@ -823,7 +832,7 @@ class WhisperEngine:
         if need_dec:
             dec_compiled = _decode_serve.lower(
                 self.params, enc_aval, prompt, prompt_len, auto_mask, None,
-                cache, self.config,
+                self.config,
                 n_head_text=self.config.n_text_head,
                 max_new_tokens=max_new,
                 beam_size=beam,
@@ -1021,9 +1030,27 @@ class WhisperEngine:
                     ctx = None
                 self._harvest_inflight()
                 self._inflight = (sub, ctx)
-        # long finals run their sequential seek loop after the batched
-        # groups are dispatched (each window is itself a warmed shape)
+        # long finals run their sequential seek loop on a SIDE thread,
+        # feeding windows back through submit() — short decodes from other
+        # sessions keep batching between windows instead of queueing
+        # behind the whole multi-window loop
         for task in long_tasks:
+            self._spawn_long(task)
+        # (the engine loop harvests the tail when the queue idles)
+
+    def _spawn_long(self, task: _Task) -> None:
+        if self._long_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # 2 concurrent seek loops; further long finals queue behind
+            # them (same serialization the reference pool applies when
+            # every worker is busy)
+            self._long_pool = ThreadPoolExecutor(
+                max_workers=2,
+                thread_name_prefix=f"engine-long-{self.model_size}",
+            )
+
+        def run() -> None:
             try:
                 out = self._run_long(task)
             except Exception as exc:
@@ -1032,7 +1059,8 @@ class WhisperEngine:
             else:
                 if not task.future.done():
                     task.future.set_result(out)
-        # (the engine loop harvests the tail when the queue idles)
+
+        self._long_pool.submit(run)
 
     def _harvest_inflight(self) -> None:
         inflight = getattr(self, "_inflight", None)
@@ -1176,7 +1204,9 @@ class WhisperEngine:
                 audio=chunk, language=language, task=req.task,
                 options=w_opts, is_final=False, session_id=req.session_id,
             )
-            out = self._run_group_inner([_Task(sub, None)])[0]
+            out = self._decode_window(sub, task.cancel_event)
+            if out is None:  # cancelled mid-loop
+                break
             offset = seek / SAMPLE_RATE
             dur = len(chunk) / SAMPLE_RATE
             segments.extend(
@@ -1225,6 +1255,28 @@ class WhisperEngine:
             temperature_used=max_temp,
             words=all_words,
         )
+
+    def _decode_window(
+        self, sub: DecodeRequest, cancel_event
+    ) -> Optional[DecodeOutput]:
+        """Decode ONE seek-loop window by submitting it through the engine
+        queue — it batches with (and interleaves between) other sessions'
+        requests. Returns None when the parent request was cancelled;
+        raises if the engine is closing."""
+        import concurrent.futures as cf
+
+        fut = self.submit(sub, cancel_event=cancel_event)
+        while True:
+            try:
+                return fut.result(timeout=0.5)
+            except cf.CancelledError:
+                return None
+            except cf.TimeoutError:
+                if self._closing:
+                    fut.cancel()
+                    raise RuntimeError(
+                        "engine closed during a long-audio decode"
+                    )
 
     def _run_group(
         self, group: List[_Task], already_running: bool = False
@@ -1322,9 +1374,6 @@ class WhisperEngine:
             not bool(t.request.options.get("without_timestamps", True))
             for t in group
         )
-        cache = W.init_kv_cache(
-            self.config, batch_n * beam, p_len + max_new, dtype=self._dtype
-        )
         prompt_dev = jnp.asarray(prompt_arr)
         prompt_len_dev = jnp.full((batch_n,), p_len, jnp.int32)
         rep_arr = np.ones((batch_n,), np.float32)
@@ -1350,12 +1399,12 @@ class WhisperEngine:
             enc = self._serve_exec[enc_key](self.params, rows_dev)
             packed = self._serve_exec[dec_key](
                 self.params, enc, prompt_dev, prompt_len_dev,
-                auto_dev, None, cache,
+                auto_dev, None,
             )
         else:
             packed = _serve_step(
                 self.params, rows_dev, prompt_dev, prompt_len_dev,
-                auto_dev, rep_dev, cache,
+                auto_dev, rep_dev,
                 self.config,
                 n_head_audio=self.config.n_audio_head,
                 n_head_text=self.config.n_text_head,
@@ -1562,13 +1611,9 @@ class WhisperEngine:
                     pl = bare_len if use_bare else p_len
                     candidates: List[List[DecodeOutput]] = []
                     for sample_idx in range(best_of if temp > 0 else 1):
-                        retry_cache = W.init_kv_cache(
-                            self.config, batch_n, pl + max_new,
-                            dtype=self._dtype,
-                        )
                         packed_r = _sample_packed(
                             self.params, enc, pr_dev, pr_len_dev,
-                            retry_cache, self.config, self.config.n_text_head,
+                            self.config, self.config.n_text_head,
                             max_new_tokens=max_new,
                             suppress_blank=_suppress_blank_of(
                                 group[0].request

@@ -771,7 +771,7 @@ def greedy_decode(
     enc_out: jnp.ndarray,
     prompt: jnp.ndarray,
     prompt_len: jnp.ndarray,
-    cache: KVCache,
+    cache: Optional[KVCache],
     config: WhisperConfig,
     n_head: int,
     max_new_tokens: int,
@@ -786,9 +786,22 @@ def greedy_decode(
     share P but may have different logical lengths — shorter rows re-feed
     their last valid token, which is harmless because their outputs are
     ignored until their real positions). enc_out: (B, T_a, d).
+
+    ``cache=None`` (the serving path) allocates the KV cache INSIDE the
+    traced program: its shape is static anyway (p_len + max_new_tokens),
+    and a host-allocated cache can never be donated cleanly — the program
+    does not return it, so XLA must copy the ~hundreds-of-MB input buffer
+    every dispatch (the round-2 "donated buffers were not usable"
+    warning). In-trace allocation makes it a plain scratch buffer XLA
+    places and reuses freely. An explicit cache is still accepted for
+    KV-equivalence tests.
     """
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
+    if cache is None:
+        cache = init_kv_cache(
+            config, b, p_len + max_new_tokens, dtype=enc_out.dtype
+        )
     t_max = cache.k.shape[3]
     cross_kv = precompute_cross_kv(params, enc_out, n_head)
     suppress = jnp.asarray(_suppress_mask(config, True))
@@ -904,7 +917,7 @@ def sample_decode(
     enc_out: jnp.ndarray,
     prompt: jnp.ndarray,
     prompt_len: jnp.ndarray,
-    cache: KVCache,
+    cache: Optional[KVCache],
     config: WhisperConfig,
     n_head: int,
     max_new_tokens: int,
@@ -919,9 +932,14 @@ def sample_decode(
     whisper's temperature-fallback ladder (reference faster_whisper passes
     ``temperature`` tuples to CTranslate2). Structure mirrors
     :func:`greedy_decode`; ``temperature`` is a runtime scalar so every rung
-    reuses ONE compiled program per shape."""
+    reuses ONE compiled program per shape. ``cache=None`` allocates
+    in-trace (see :func:`greedy_decode`)."""
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
+    if cache is None:
+        cache = init_kv_cache(
+            config, b, p_len + max_new_tokens, dtype=enc_out.dtype
+        )
     t_max = cache.k.shape[3]
     cross_kv = precompute_cross_kv(params, enc_out, n_head)
     suppress = jnp.asarray(_suppress_mask(config, True))
@@ -1219,7 +1237,7 @@ def greedy_decode_timestamps(
     enc_out: jnp.ndarray,
     prompt: jnp.ndarray,
     prompt_len: jnp.ndarray,
-    cache: KVCache,
+    cache: Optional[KVCache],
     config: WhisperConfig,
     n_head: int,
     max_new_tokens: int,
@@ -1230,10 +1248,15 @@ def greedy_decode_timestamps(
     ``whisper/decoding.py ApplyTimestampRules``): the prompt omits
     ``no_timestamps``; generation interleaves ``<|t|>`` tokens with text.
     The grammar lives in :func:`_ts_apply`; host-side segmentation in
-    :func:`split_timestamp_segments`.
+    :func:`split_timestamp_segments`. ``cache=None`` allocates in-trace
+    (see :func:`greedy_decode`).
     """
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
+    if cache is None:
+        cache = init_kv_cache(
+            config, b, p_len + max_new_tokens, dtype=enc_out.dtype
+        )
     t_max = cache.k.shape[3]
     ts_begin = layout.timestamp_begin
     cross_kv = precompute_cross_kv(params, enc_out, n_head)
@@ -1527,7 +1550,7 @@ def beam_decode(
     enc_out: jnp.ndarray,
     prompt: jnp.ndarray,
     prompt_len: jnp.ndarray,
-    cache: KVCache,
+    cache: Optional[KVCache],
     config: WhisperConfig,
     n_head: int,
     max_new_tokens: int,
@@ -1556,14 +1579,19 @@ def beam_decode(
     beam width instead of silently downgrading to greedy. The prompt must
     then omit ``no_timestamps``.
 
-    enc_out: (B, T_a, d); prompt: (B, P); cache must be sized for
-    ``B * beam_size`` rows. Returns the best beam per batch row in the
+    enc_out: (B, T_a, d); prompt: (B, P); an explicit cache must be sized
+    for ``B * beam_size`` rows; ``cache=None`` allocates in-trace (see
+    :func:`greedy_decode`). Returns the best beam per batch row in the
     same DecodeResult layout as :func:`greedy_decode`.
     """
     layout = token_layout(config.n_vocab)
     b, p_len = prompt.shape
     k = beam_size
     bk = b * k
+    if cache is None:
+        cache = init_kv_cache(
+            config, bk, p_len + max_new_tokens, dtype=enc_out.dtype
+        )
     t_max = cache.k.shape[3]
     v = config.n_vocab
 

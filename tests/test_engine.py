@@ -670,13 +670,13 @@ def test_long_final_runs_seek_loop_not_truncation():
                         audio_buckets_sec=(1.0, 2.0), batch_buckets=(1,),
                         max_decode_tokens=16)
     window_lens = []
-    orig = eng._run_group_inner
+    orig = eng._device_phase
 
-    def spy(group, already_running=False):
+    def spy(group):
         window_lens.append(len(group[0].request.audio))
-        return orig(group, already_running)
+        return orig(group)
 
-    eng._run_group_inner = spy
+    eng._device_phase = spy
     rng = np.random.default_rng(40)
     audio = (0.1 * rng.standard_normal(5 * 16000)).astype(np.float32)  # 5 s
     out = eng.transcribe_sync(DecodeRequest(
@@ -701,15 +701,15 @@ def test_long_final_conditions_next_window():
                         audio_buckets_sec=(1.0,), batch_buckets=(1,),
                         max_decode_tokens=16)
     prompts_seen = []
-    orig = eng._run_group_inner
+    orig = eng._device_phase
 
-    def spy(group, already_running=False):
+    def spy(group):
         prompts_seen.append(
             group[0].request.options.get("initial_prompt", "")
         )
-        return orig(group, already_running)
+        return orig(group)
 
-    eng._run_group_inner = spy
+    eng._device_phase = spy
     rng = np.random.default_rng(41)
     audio = (0.1 * rng.standard_normal(3 * 16000)).astype(np.float32)
     eng.transcribe_sync(DecodeRequest(
@@ -727,6 +727,64 @@ def test_long_final_conditions_next_window():
                  "condition_on_previous_text": False},
     ))
     assert prompts_seen == ["seed words"] * 3
+    eng.close()
+
+
+def test_long_final_does_not_block_partials():
+    """VERDICT r2 weak #4 / ADVICE medium: a long final's seek loop must
+    NOT head-of-line block other sessions — its windows feed back through
+    the engine queue, so a partial submitted mid-loop completes long
+    before the final, and the engine thread never runs the loop inline."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16, batch_window_ms=0.0)
+    rng = np.random.default_rng(44)
+    # baseline partial latency (warmed shapes)
+    partial = DecodeRequest(
+        audio=(0.1 * rng.standard_normal(8000)).astype(np.float32),
+        language="en", session_id="p",
+    )
+    eng.transcribe_sync(partial)
+    t0 = time.monotonic()
+    eng.transcribe_sync(partial)
+    baseline = time.monotonic() - t0
+
+    # slow every window decode down so the seek loop visibly occupies the
+    # engine; 8 windows x delay >> baseline. Record dispatch order to
+    # assert interleaving deterministically (wall-clock bounds are flaky
+    # on shared CI hosts).
+    orig = eng._device_phase
+    delay = max(0.05, baseline)
+    dispatch_order = []
+
+    def slow(group):
+        dispatch_order.extend(t.request.session_id for t in group)
+        time.sleep(delay)
+        return orig(group)
+
+    eng._device_phase = slow
+    long_audio = (0.1 * rng.standard_normal(8 * 16000)).astype(np.float32)
+    t_long = time.monotonic()
+    long_fut = eng.submit(DecodeRequest(
+        audio=long_audio, language="en", is_final=True, session_id="L",
+    ))
+    time.sleep(delay * 1.5)  # seek loop is now mid-flight
+    t0 = time.monotonic()
+    out = eng.submit(partial).result(timeout=30)
+    partial_lat = time.monotonic() - t0
+    assert out.batch_rows >= 1
+    long_out = long_fut.result(timeout=60)
+    long_lat = time.monotonic() - t_long
+    assert long_out.batch_rows == 1
+    # the partial interleaved between windows: it finished well before the
+    # final, and its device dispatch ran BEFORE the seek loop's last
+    # windows (i.e. the loop did not head-of-line block the engine)
+    assert partial_lat < long_lat / 2
+    assert "p" in dispatch_order
+    windows_after_partial = len(dispatch_order) - 1 - (
+        dispatch_order.index("p") + dispatch_order.count("p")
+    )
+    assert windows_after_partial >= 2, dispatch_order
     eng.close()
 
 

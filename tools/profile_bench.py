@@ -52,8 +52,12 @@ def main():
              + 0.05 * rng.normal(0, 1, n)).astype(np.float32)
     bucket = engine._bucket_for(n)
     t0 = time.monotonic()
+    engine.prewarm(bucket_secs=[bucket], batch_sizes=[64], mode="aot",
+                   parallelism=2)
+    log(f"prewarm(aot): {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
     engine.prewarm(bucket_secs=[bucket], batch_sizes=[64])
-    log(f"prewarm: {time.monotonic()-t0:.1f}s")
+    log(f"prewarm(exec): {time.monotonic()-t0:.1f}s")
 
     # 1. end-to-end rounds
     e2e = []
@@ -89,31 +93,19 @@ def main():
 
     dev_total, enc_only, dec_only = [], [], []
     for i in range(4):
-        cache = W.init_kv_cache(engine.config, 64, p_len + max_new,
-                                dtype=engine._dtype)
-        jax.block_until_ready(cache)
         t0 = time.perf_counter()
         enc = engine._serve_exec[enc_key](engine.params, rows_dev)
         jax.block_until_ready(enc)
         t1 = time.perf_counter()
         packed = engine._serve_exec[dec_key](
-            engine.params, enc, prompt, prompt_len, auto, None, cache)
+            engine.params, enc, prompt, prompt_len, auto, None)
         jax.block_until_ready(packed)
         t2 = time.perf_counter()
         dev_total.append(t2 - t0)
         enc_only.append(t1 - t0)
         dec_only.append(t2 - t1)
         log(f"device round {i}: enc={t1-t0:.3f}s dec={t2-t1:.3f}s")
-
-    # 2b. cache init cost alone
-    cache_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cache = W.init_kv_cache(engine.config, 64, p_len + max_new,
-                                dtype=engine._dtype)
-        jax.block_until_ready(cache)
-        cache_times.append(time.perf_counter() - t0)
-    log(f"cache init: {[f'{x:.3f}' for x in cache_times]}")
+    cache_times = [0.0]
 
     # 3. transfer of rows alone (fresh arrays to defeat caching)
     xfer = []
