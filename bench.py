@@ -90,8 +90,9 @@ def main() -> None:
     parser.add_argument("--model", default="small")
     parser.add_argument("--secs", type=float, default=10.0,
                         help="utterance length per request")
-    parser.add_argument("--rounds", type=int, default=3,
-                        help="measured rounds (best of)")
+    parser.add_argument("--rounds", type=int, default=5,
+                        help="measured rounds (median is the headline; "
+                             "min/max are reported alongside)")
     parser.add_argument("--compute-type", default="bfloat16")
     parser.add_argument("--no-pallas", dest="use_pallas",
                         action="store_false", default=True,
@@ -117,6 +118,17 @@ def main() -> None:
             )
         except Exception:
             pass
+
+    # repo-committed serialized-executable artifact: a cold host (fresh
+    # pod, the driver environment) deserializes the bench-shape serve
+    # programs in seconds instead of paying the multi-minute XLA compile.
+    # Keyed by (jax version, device kind, model config, dtype, traced
+    # sources) — any mismatch silently falls back to compiling.
+    repo_exec = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".exec_cache"
+    )
+    if not os.getenv("STT_EXEC_CACHE_DIR", "").strip():
+        os.environ["STT_EXEC_CACHE_DIR"] = repo_exec
 
     from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
 
@@ -152,11 +164,28 @@ def main() -> None:
             warm_sizes.append(engine._batch_bucket(args.streams))
         # only the shapes this run will hit: the full batch + the tail shape
         warm_sizes = sorted({warm_sizes[-1], engine._batch_bucket(args.streams)})
-        log(f"prewarming bucket={bucket}s batch sizes={warm_sizes}")
+        partial_bucket = engine._bucket_for(16000)
+        log(f"prewarming bucket={bucket}s batch sizes={warm_sizes} "
+            f"+ partial bucket={partial_bucket}s")
+        # AOT mode: compiles land in the exec cache + persistent XLA cache
+        # and fill the serving exec table; independent shapes compile on
+        # parallel host threads. A cold host with the repo artifact
+        # deserializes instead of compiling.
         compile_sec = engine.prewarm(
-            bucket_secs=[bucket], batch_sizes=warm_sizes
+            bucket_secs=[bucket], batch_sizes=warm_sizes,
+            mode="aot", parallelism=4,
+        )
+        compile_sec += engine.prewarm(
+            bucket_secs=[partial_bucket], batch_sizes=[1],
+            mode="aot", parallelism=2,
         )
         log(f"compile: {compile_sec:.1f}s")
+        # one execution per shape proves the programs run (and absorbs any
+        # first-dispatch costs outside the measured rounds)
+        warm_exec = engine.prewarm(
+            bucket_secs=[bucket], batch_sizes=warm_sizes
+        )
+        log(f"warm-execute: {warm_exec:.1f}s")
 
         def run_round():
             reqs = [
@@ -170,17 +199,26 @@ def main() -> None:
             gen = sum(f.result()._n_gen for f in futs)  # surfaces errors
             return wall, gen
 
-        best_wall = float("inf")
+        walls = []
         gen_tokens = 0
         for i in range(args.rounds):
             wall, gen = run_round()
             log(f"round {i}: wall={wall:.2f}s gen_tokens={gen}")
-            if wall < best_wall:
-                best_wall, gen_tokens = wall, gen
+            walls.append(wall)
+            gen_tokens = gen
+        walls.sort()
+        # the HEADLINE is the MEDIAN round (VERDICT r2 weak #1: round-to-
+        # round variance through the device tunnel reached 2x; best-of
+        # overstated the steady state). min/max ride along for context.
+        med_wall = walls[len(walls) // 2]
+        best_wall = walls[0]
 
         total_audio = args.streams * args.secs
-        rtfx = total_audio / best_wall
-        log(f"RTFx = {total_audio:.0f}s audio / {best_wall:.2f}s wall")
+        rtfx = total_audio / med_wall
+        rtfx_best = total_audio / best_wall
+        log(f"RTFx = {total_audio:.0f}s audio / median {med_wall:.2f}s wall "
+            f"(min {best_wall:.2f}s -> {rtfx_best:.1f}x, "
+            f"max {walls[-1]:.2f}s)")
 
         # MFU: analytic matmul FLOPs / wall / chip peak (VERDICT weak #2:
         # track utilization, not just RTFx — the decode loop is
@@ -189,18 +227,16 @@ def main() -> None:
         flops = args.streams * whisper_request_flops(
             engine.config, bucket, 4, max(1, gen_tokens // args.streams)
         )
-        eff_tflops = flops / best_wall / 1e12
+        eff_tflops = flops / med_wall / 1e12
         peak = peak_tflops(devices[0])
         mfu = 100.0 * eff_tflops / peak
-        log(f"MFU: {flops/1e12:.2f} TFLOP / {best_wall:.2f}s = "
+        log(f"MFU: {flops/1e12:.2f} TFLOP / {med_wall:.2f}s = "
             f"{eff_tflops:.2f} TFLOPS effective vs {peak:.0f} peak "
             f"-> {mfu:.2f}%")
 
         # secondary: p95 single-request latency at the 1s partial bucket
         # (the streaming partial path; north star p95 < 300 ms)
         partial_audio = audio[: 16000]
-        engine.prewarm(bucket_secs=[engine._bucket_for(len(partial_audio))],
-                       batch_sizes=[1])
         lats = []
         for _ in range(20):
             t0 = time.perf_counter()
@@ -217,6 +253,11 @@ def main() -> None:
             "value": round(rtfx, 2),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(rtfx / 20.0, 3),
+            "rtfx_best": round(rtfx_best, 2),
+            "wall_median_s": round(med_wall, 3),
+            "wall_min_s": round(best_wall, 3),
+            "wall_max_s": round(walls[-1], 3),
+            "compile_s": round(compile_sec, 1),
             "mfu_pct": round(mfu, 2),
             "effective_tflops": round(eff_tflops, 2),
             "partial_p95_ms": round(p95 * 1000, 1),

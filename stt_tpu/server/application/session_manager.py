@@ -131,21 +131,22 @@ class SessionRegistry:
             self._hooks.on_remove(info)
         return info
 
-    def active_count(self) -> int:
+    def _count_where(self, predicate) -> int:
         with self._lock:
-            return len(self._sessions)
+            return sum(1 for i in self._sessions.values() if predicate(i))
+
+    def active_count(self) -> int:
+        return self._count_where(lambda _: True)
 
     def active_count_by_ip(self, client_ip: str) -> int:
         if not client_ip:
             return 0
-        with self._lock:
-            return sum(1 for i in self._sessions.values() if i.client_ip == client_ip)
+        return self._count_where(lambda i: i.client_ip == client_ip)
 
     def active_count_by_api_key(self, api_key: str) -> int:
         if not api_key:
             return 0
-        with self._lock:
-            return sum(1 for i in self._sessions.values() if i.api_key == api_key)
+        return self._count_where(lambda i: i.api_key == api_key)
 
 
 @dataclass
@@ -158,7 +159,14 @@ class SessionState:
 
 
 class SessionFacade:
-    """Session lookup/validation helpers shared by transports."""
+    """Transport-facing session resolution and token checks.
+
+    The wire behavior is contract-fixed (ERR1001 when no usable session id
+    can be resolved, ERR1003 on a bad per-chunk token with immediate
+    session removal); the flow is organized around a candidate-id chain:
+    each resolution site lists its id sources in priority order and the
+    first non-empty one wins.
+    """
 
     def __init__(self, session_registry: SessionRegistry) -> None:
         self._registry = session_registry
@@ -172,28 +180,36 @@ class SessionFacade:
         normalized = str(value).strip()
         return normalized or None
 
-    def _build_state(
+    def _first_id(self, *candidates) -> Optional[str]:
+        """First candidate that normalizes to a non-empty session id."""
+        for raw in candidates:
+            sid = self._normalize_session_id(raw)
+            if sid:
+                return sid
+        return None
+
+    @staticmethod
+    def _abort(context: grpc.ServicerContext, code: ErrorCode) -> None:
+        LOGGER.error(format_error(code))
+        abort_with_error(context, code)
+
+    def _state_for(
         self, session_id: str, context: grpc.ServicerContext
     ) -> SessionState:
         info = self._registry.get_session(session_id)
-        if not info:
-            LOGGER.error(format_error(ErrorCode.SESSION_ID_MISSING))
-            abort_with_error(context, ErrorCode.SESSION_ID_MISSING)
-        return SessionState(
-            session_id=session_id,
-            session_info=info,
-            decode_options=dict(info.decode_options),
-        )
+        if info is None:
+            # unknown id is indistinguishable from a missing one at the
+            # wire level: same ERR1001 (contract, reference parity)
+            self._abort(context, ErrorCode.SESSION_ID_MISSING)
+        return SessionState(session_id, info, dict(info.decode_options))
 
     def resolve_from_metadata(
         self, metadata: Dict[str, Any], context: grpc.ServicerContext
     ) -> Optional[SessionState]:
-        session_id = self._normalize_session_id(
-            metadata.get("session-id") or metadata.get("session_id")
+        sid = self._first_id(
+            metadata.get("session-id"), metadata.get("session_id")
         )
-        if not session_id:
-            return None
-        return self._build_state(session_id, context)
+        return self._state_for(sid, context) if sid else None
 
     def ensure_session_from_chunk(
         self,
@@ -201,15 +217,13 @@ class SessionFacade:
         chunk: stt_pb2.AudioChunk,
         context: grpc.ServicerContext,
     ) -> SessionState:
-        session_id = self._normalize_session_id(chunk.session_id) or (
-            current_state.session_id if current_state else None
-        )
-        if not session_id:
-            LOGGER.error(format_error(ErrorCode.SESSION_ID_MISSING))
-            abort_with_error(context, ErrorCode.SESSION_ID_MISSING)
-        if current_state and session_id == current_state.session_id:
+        held = current_state.session_id if current_state else None
+        sid = self._first_id(chunk.session_id, held)
+        if sid is None:
+            self._abort(context, ErrorCode.SESSION_ID_MISSING)
+        if current_state is not None and sid == held:
             return current_state
-        return self._build_state(session_id, context)
+        return self._state_for(sid, context)
 
     def validate_token(
         self,
@@ -217,25 +231,29 @@ class SessionFacade:
         chunk: stt_pb2.AudioChunk,
         context: grpc.ServicerContext,
     ) -> None:
-        if not state:
+        if state is None:
             return
         info = state.session_info
-        if info.token_required and chunk.session_token != info.token:
-            self.remove_session(state, reason="invalid_token")
-            LOGGER.error(format_error(ErrorCode.SESSION_TOKEN_INVALID))
-            abort_with_error(context, ErrorCode.SESSION_TOKEN_INVALID)
+        if not info.token_required or chunk.session_token == info.token:
+            return
+        # a bad token burns the session before the abort (parity: a
+        # client cannot keep probing an established session id)
+        self.remove_session(state, reason="invalid_token")
+        self._abort(context, ErrorCode.SESSION_TOKEN_INVALID)
 
-    def remove_session(self, state: Optional[SessionState], reason: str = "") -> None:
-        if not state:
+    def remove_session(
+        self, state: Optional[SessionState], reason: str = ""
+    ) -> None:
+        if state is None:
             return
         self._registry.remove_session(state.session_id)
         if reason:
             LOGGER.info("removed session %s (%s)", state.session_id, reason)
 
     def remove_session_by_id(self, session_id: Union[str, bytes, None]) -> None:
-        normalized = self._normalize_session_id(session_id)
-        if normalized:
-            self._registry.remove_session(normalized)
+        sid = self._first_id(session_id)
+        if sid:
+            self._registry.remove_session(sid)
 
 
 @dataclass(frozen=True)
@@ -389,14 +407,16 @@ class CreateSessionHandler:
                 )
                 abort_with_error(context, ErrorCode.CREATE_SESSION_RATE_LIMITED)
         cfg = self._config
-        if cfg.max_sessions_per_ip > 0 and client_ip:
-            if self._registry.active_count_by_ip(client_ip) >= cfg.max_sessions_per_ip:
-                abort_with_error(context, ErrorCode.SESSION_LIMIT_EXCEEDED)
-        if cfg.max_sessions_per_api_key > 0 and api_key:
-            if (
-                self._registry.active_count_by_api_key(api_key)
-                >= cfg.max_sessions_per_api_key
-            ):
+        # per-identity concurrent-session caps (ERR1011); each axis only
+        # applies when configured AND the identity is present
+        caps = (
+            (client_ip, cfg.max_sessions_per_ip,
+             self._registry.active_count_by_ip),
+            (api_key, cfg.max_sessions_per_api_key,
+             self._registry.active_count_by_api_key),
+        )
+        for identity, cap, count_active in caps:
+            if cap > 0 and identity and count_active(identity) >= cap:
                 abort_with_error(context, ErrorCode.SESSION_LIMIT_EXCEEDED)
 
     def _resolve_vad_threshold(
@@ -418,12 +438,18 @@ class CreateSessionHandler:
         self, request: stt_pb2.SessionRequest, context: grpc.ServicerContext
     ) -> stt_pb2.SessionResponse:
         cfg = self._config
-        if not cfg.allow_new_sessions():
-            LOGGER.warning("CreateSession rejected during shutdown")
-            abort_with_error(context, ErrorCode.SERVER_SHUTTING_DOWN)
-        if not cfg.allow_overload_sessions():
-            LOGGER.warning("CreateSession rejected due to overload")
-            abort_with_error(context, ErrorCode.CREATE_SESSION_RATE_LIMITED)
+        # admission gates, cheapest first; each aborts with its own code
+        gates = (
+            (cfg.allow_new_sessions, "CreateSession rejected during shutdown",
+             ErrorCode.SERVER_SHUTTING_DOWN),
+            (cfg.allow_overload_sessions,
+             "CreateSession rejected due to overload",
+             ErrorCode.CREATE_SESSION_RATE_LIMITED),
+        )
+        for is_open, message, code in gates:
+            if not is_open():
+                LOGGER.warning(message)
+                abort_with_error(context, code)
         if not request.session_id:
             LOGGER.error(format_error(ErrorCode.SESSION_ID_REQUIRED))
             abort_with_error(context, ErrorCode.SESSION_ID_REQUIRED)
@@ -516,13 +542,16 @@ class CreateSessionHandler:
                 vad_reserved = True
 
             sanitized = self._sanitize_attributes(attributes)
+            # settings echoed verbatim in the wire response (proto
+            # contract) — shared between the registry record and the
+            # SessionResponse below
+            echoed = dict(
+                vad_mode=vad_mode, vad_silence=vad_silence,
+                vad_threshold=vad_threshold, token=token,
+                token_required=token_required,
+            )
             info = SessionInfo(
                 attributes=sanitized,
-                vad_mode=vad_mode,
-                vad_silence=vad_silence,
-                vad_threshold=vad_threshold,
-                token=token,
-                token_required=token_required,
                 client_ip=client_ip,
                 api_key=api_key,
                 decode_profile=profile_name,
@@ -531,6 +560,7 @@ class CreateSessionHandler:
                 task=session_task,
                 model_id=model_id,
                 vad_reserved=vad_reserved,
+                **echoed,
             )
             try:
                 self._registry.create_session(session_id, info)
@@ -555,14 +585,10 @@ class CreateSessionHandler:
             )
             return stt_pb2.SessionResponse(
                 attributes=response_attributes,
-                vad_mode=vad_mode,
-                vad_silence=vad_silence,
-                vad_threshold=vad_threshold,
-                token=token,
-                token_required=token_required,
                 language_code=language_code,
                 task=task_enum_from_name(session_task),
                 decode_profile=profile_enum_from_name(profile_name),
+                **echoed,
             )
         finally:
             set_session_id(None)
