@@ -170,6 +170,57 @@ def test_real_weights_accuracy():
         backend.close()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("STT_WEIGHTS_DIR"),
+    reason="real-weights fp8 parity gate: set STT_WEIGHTS_DIR (see "
+           "test_real_weights_accuracy)",
+)
+def test_real_weights_fp8_cross_kv_parity(monkeypatch):
+    """fp8 cross-KV storage is the bf16 serving default; its transcript
+    parity is proven on tiny random-weight models in CI, but e4m3's 3
+    mantissa bits could in principle flip argmax decisions on REAL logit
+    distributions (ADVICE r2). This gate lets any deployment verify
+    parity on its actual checkpoint in one command: transcripts under
+    fp8 and bf16 cross-KV storage must match on the speech fixture."""
+    import importlib
+    import wave
+
+    weights = os.environ["STT_WEIGHTS_DIR"]
+    fixture = os.environ.get("STT_SPEECH_FIXTURE")
+    if fixture:
+        with wave.open(fixture, "rb") as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        audio = pcm.astype(np.float32) / 32768.0
+    else:
+        rng = np.random.default_rng(3)
+        audio = (0.05 * rng.standard_normal(16000)).astype(np.float32)
+
+    texts = {}
+    for mode in ("fp8", "bf16"):
+        monkeypatch.setenv("STT_CROSS_KV_DTYPE", mode)
+        import stt_tpu.models.whisper as W_mod
+
+        importlib.reload(W_mod)  # re-read the env-traced storage policy
+        from stt_tpu.backends.jax_whisper import JaxWhisperBackend
+
+        backend = JaxWhisperBackend(
+            "tiny", "cpu", "bfloat16", weights_path=weights,
+            audio_buckets_sec=(30.0,), batch_buckets=(1,),
+        )
+        try:
+            segments, _ = backend.transcribe(audio, {"language": "en"})
+            texts[mode] = " ".join(s.text for s in segments).strip()
+        finally:
+            backend.close()
+    monkeypatch.delenv("STT_CROSS_KV_DTYPE")
+    importlib.reload(importlib.import_module("stt_tpu.models.whisper"))
+    assert texts["fp8"] == texts["bf16"], (
+        "fp8 cross-KV storage changed the transcript on real weights - "
+        f"set STT_CROSS_KV_DTYPE=bf16 in this deployment:\n"
+        f"  fp8 : {texts['fp8']!r}\n  bf16: {texts['bf16']!r}"
+    )
+
+
 def test_serving_from_hf_checkpoint_dir(tmp_path):
     """weights_path loading through the real server: export an HF-format
     checkpoint, boot a server on it, decode."""
