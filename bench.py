@@ -187,26 +187,44 @@ def main() -> None:
         )
         log(f"warm-execute: {warm_exec:.1f}s")
 
-        def run_round():
-            reqs = [
-                DecodeRequest(audio=audio, language="en")
+        # Saturated steady state: keep `--waves` rounds of --streams
+        # requests outstanding (a backlogged server always has the next
+        # batch queued). The engine's dispatch/harvest split then overlaps
+        # round k+1's host->device transfer with round k's compute — on
+        # tunneled devices the transfer is ~half the round wall, so
+        # round-synchronous submission (submit 64, wait, repeat) would
+        # serialize transfer+compute and understate the serving ceiling.
+        # The measured wall per round is the COMPLETION PERIOD between
+        # consecutive rounds at steady state (first round, which includes
+        # the pipeline fill, is logged but excluded from the headline).
+        def submit_wave():
+            return [
+                engine.submit(DecodeRequest(audio=audio, language="en"))
                 for _ in range(args.streams)
             ]
-            t0 = time.perf_counter()
-            futs = [engine.submit(r) for r in reqs]
-            futures.wait(futs)
-            wall = time.perf_counter() - t0
-            gen = sum(f.result()._n_gen for f in futs)  # surfaces errors
-            return wall, gen
 
-        walls = []
+        n_waves = args.rounds + 1  # +1: the fill round is excluded
+        done_at = []
         gen_tokens = 0
-        for i in range(args.rounds):
-            wall, gen = run_round()
-            log(f"round {i}: wall={wall:.2f}s gen_tokens={gen}")
-            walls.append(wall)
-            gen_tokens = gen
-        walls.sort()
+        t0 = time.perf_counter()
+        prev = submit_wave()
+        for _ in range(n_waves - 1):
+            nxt = submit_wave()  # keep 2 waves in flight
+            futures.wait(prev)
+            done_at.append(time.perf_counter() - t0)
+            gen_tokens = sum(f.result()._n_gen for f in prev)
+            prev = nxt
+        futures.wait(prev)
+        done_at.append(time.perf_counter() - t0)
+        gen_tokens = sum(f.result()._n_gen for f in prev)
+
+        walls = [done_at[0]] + [
+            done_at[i] - done_at[i - 1] for i in range(1, len(done_at))
+        ]
+        log(f"round 0 (pipeline fill, excluded): wall={walls[0]:.2f}s")
+        for i, wall in enumerate(walls[1:]):
+            log(f"round {i + 1}: wall={wall:.2f}s gen_tokens={gen_tokens}")
+        walls = sorted(walls[1:])
         # the HEADLINE is the MEDIAN round (VERDICT r2 weak #1: round-to-
         # round variance through the device tunnel reached 2x; best-of
         # overstated the steady state). min/max ride along for context.

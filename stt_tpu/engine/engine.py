@@ -554,6 +554,27 @@ class WhisperEngine:
             self._profile_batches = 3
         self._profiled = 0
 
+        # Decoupled readback: the engine thread only forms batches and
+        # issues device work (host->device transfer + async dispatches);
+        # a dedicated harvester thread performs the blocking device->host
+        # readback and resolves futures. Depth-bounded by a semaphore so
+        # at most STT_PIPELINE_DEPTH batches of device buffers are in
+        # flight: batch k+1's input transfer rides UNDER batch k's
+        # compute. On tunneled/remote devices the 64x10s int16 transfer
+        # is ~half the round wall, so this overlap alone nearly doubles
+        # saturated throughput; it also keeps the batching thread free to
+        # collect the next batch instead of blocking in np.asarray.
+        try:
+            depth = int(os.getenv("STT_PIPELINE_DEPTH", "2") or 2)
+        except ValueError:
+            depth = 2
+        self._pipeline_depth = max(1, depth)
+        self._dispatch_sem = threading.Semaphore(self._pipeline_depth)
+        self._harvest_q: "queue.Queue[Optional[Tuple[List[_Task], Dict[str, Any]]]]" = (
+            queue.Queue()
+        )
+        self._harvest_thread: Optional[threading.Thread] = None
+
     # -- sizing ---------------------------------------------------------------
 
     def _bucket_for(self, n_samples: int) -> float:
@@ -585,6 +606,12 @@ class WhisperEngine:
                 target=self._loop, name=f"engine-{self.model_size}", daemon=True
             )
             self._thread.start()
+            self._harvest_thread = threading.Thread(
+                target=self._harvest_loop,
+                name=f"engine-harvest-{self.model_size}",
+                daemon=True,
+            )
+            self._harvest_thread.start()
 
     def close(self) -> None:
         with self._lock:
@@ -596,6 +623,12 @@ class WhisperEngine:
         if self._thread:
             self._thread.join(timeout=30)
             self._thread = None
+        # the engine thread has stopped dispatching; drain the harvester
+        # behind everything it enqueued
+        self._harvest_q.put(None)
+        if self._harvest_thread:
+            self._harvest_thread.join(timeout=60)
+            self._harvest_thread = None
         if self._long_pool is not None:
             # in-flight seek loops notice _closing at their next window
             # wait and error out; then the pool can join
@@ -927,17 +960,14 @@ class WhisperEngine:
     # -- batching loop --------------------------------------------------------
 
     def _loop(self) -> None:
-        self._inflight = None
         while True:
             try:
                 first = self._queue.get(timeout=0.25)
             except queue.Empty:
-                self._harvest_inflight()
                 if not self._running:
                     return
                 continue
             if first is None:
-                self._harvest_inflight()
                 return
             batch = [first]
             deadline = time.monotonic() + self.batch_window_sec
@@ -954,9 +984,6 @@ class WhisperEngine:
                     break
                 batch.append(nxt)
             self._process(batch)
-            if self._queue.empty():
-                # nothing queued behind us: finish the pipelined batch now
-                self._harvest_inflight()
             if not self._running and self._queue.empty():
                 return
 
@@ -1017,19 +1044,21 @@ class WhisperEngine:
             # max_batch > max(batch_buckets); split it into full sub-batches
             for start in range(0, len(group), max_rows):
                 sub = group[start:start + max_rows]
-                # pipeline: dispatch this sub-batch's device work, THEN
-                # harvest the previous one — its device->host readback
-                # overlaps this batch's compute (and, on tunneled devices,
-                # hides a full round-trip per batch)
+                # pipeline: issue this sub-batch's device work (async) and
+                # hand it to the harvester thread. The semaphore bounds
+                # device-buffer lifetimes to _pipeline_depth batches; when
+                # the harvester falls behind, acquiring here is the
+                # backpressure that stops the batcher from dispatching.
+                self._dispatch_sem.acquire()
                 try:
                     ctx = self._device_phase(sub)
                 except Exception as exc:
+                    self._dispatch_sem.release()
                     for task in sub:
                         if not task.future.done():
                             task.future.set_exception(exc)
-                    ctx = None
-                self._harvest_inflight()
-                self._inflight = (sub, ctx)
+                    continue
+                self._harvest_q.put((sub, ctx))
         # long finals run their sequential seek loop on a SIDE thread,
         # feeding windows back through submit() — short decodes from other
         # sessions keep batching between windows instead of queueing
@@ -1062,24 +1091,26 @@ class WhisperEngine:
 
         self._long_pool.submit(run)
 
-    def _harvest_inflight(self) -> None:
-        inflight = getattr(self, "_inflight", None)
-        if inflight is None:
-            return
-        self._inflight = None
-        sub, ctx = inflight
-        if ctx is None:
-            return
-        try:
-            outputs = self._harvest(ctx)
-        except Exception as exc:
-            for task in sub:
-                if not task.future.done():
-                    task.future.set_exception(exc)
-            return
-        for task, out in zip(sub, outputs):
-            if not task.future.done():
-                task.future.set_result(out)
+    def _harvest_loop(self) -> None:
+        """Harvester thread: blocking device->host readbacks, in dispatch
+        order (one FIFO thread keeps per-stream result ordering)."""
+        while True:
+            item = self._harvest_q.get()
+            if item is None:
+                return
+            sub, ctx = item
+            try:
+                outputs = self._harvest(ctx)
+            except Exception as exc:
+                for task in sub:
+                    if not task.future.done():
+                        task.future.set_exception(exc)
+            else:
+                for task, out in zip(sub, outputs):
+                    if not task.future.done():
+                        task.future.set_result(out)
+            finally:
+                self._dispatch_sem.release()
 
     # -- the batched decode pipeline ------------------------------------------
 

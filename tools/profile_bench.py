@@ -15,8 +15,13 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# NB: sys.path, not PYTHONPATH — exporting PYTHONPATH=<repo> breaks
+# jax plugin discovery for the TPU backend in this image
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def log(m):
