@@ -30,6 +30,7 @@ rather than by giving each session its own device.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -51,6 +52,43 @@ DEFAULT_AUDIO_BUCKETS_SEC = (1.0, 2.0, 5.0, 10.0, 30.0)
 # sparse: rows pad to the next bucket; small-batch dispatches are
 # latency-bound on TPU, so extra rungs mostly just multiply compiles
 DEFAULT_BATCH_BUCKETS = (1, 4, 16)
+
+# Audio wire format for the host->device batch rows. "mulaw" (default)
+# ships 8-bit G.711-style mu-law companded samples — HALF of int16 PCM,
+# which is the dominant per-dispatch cost on bandwidth-constrained
+# (tunneled/remote) device links; the expansion back to float runs on
+# device, fused into the mel front end. Mu-law quantization is the
+# telephony standard for speech: ~38 dB SNR at speech levels, far above
+# the noise floor the 80-bin log-mel front end resolves. Set
+# STT_AUDIO_WIRE=int16 for the bit-exact PCM16 wire (the audio enters
+# the server as PCM16, so int16 is lossless end-to-end); accuracy
+# parity of the mu-law wire on real checkpoints is covered by the
+# STT_WEIGHTS_DIR-gated A/B in tests/test_integration_backends.py.
+AUDIO_WIRE = os.getenv("STT_AUDIO_WIRE", "mulaw").strip().lower() or "mulaw"
+
+
+def _build_mulaw_lut() -> np.ndarray:
+    """int16 -> mu-law uint8 lookup table, indexed by the int16 value
+    REINTERPRETED as uint16 (so encoding is one zero-copy gather:
+    ``lut[rows.view(np.uint16)]``)."""
+    u = np.arange(65536, dtype=np.int64)
+    x = np.where(u < 32768, u, u - 65536).astype(np.float32) / 32768.0
+    y = np.sign(x) * np.log1p(255.0 * np.abs(x)) / np.log(256.0)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+_MULAW_LUT = _build_mulaw_lut() if AUDIO_WIRE == "mulaw" else None
+
+
+def _encode_wire_rows(rows: np.ndarray) -> np.ndarray:
+    """Encode packed int16 PCM rows into the configured wire format."""
+    if _MULAW_LUT is not None:
+        return _MULAW_LUT[rows.view(np.uint16)]
+    return rows
+
+
+def _wire_dtype():
+    return jnp.uint8 if AUDIO_WIRE == "mulaw" else jnp.int16
 
 
 @dataclass
@@ -266,10 +304,15 @@ def _mel_encode(
 
     Host<->device round-trips are expensive (especially over a tunneled
     device); fusing the front end into the encoder program halves the
-    dispatch count of the hot path. ``rows`` may be int16 PCM (the wire
-    format — the engine ships PCM16 to the device and converts there,
-    halving the dominant host->device transfer) or float32."""
-    if rows.dtype == jnp.int16:
+    dispatch count of the hot path. ``rows`` may be uint8 mu-law (the
+    default wire format, quarter of float32 — see ``AUDIO_WIRE``),
+    int16 PCM, or float32; compressed wires expand on device here,
+    fused into the mel kernel."""
+    if rows.dtype == jnp.uint8:
+        # mu-law expansion (inverse of _build_mulaw_lut): 256**|y| = 2**(8|y|)
+        y = rows.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        rows = jnp.sign(y) * (jnp.exp2(8.0 * jnp.abs(y)) - 1.0) * (1.0 / 255.0)
+    elif rows.dtype == jnp.int16:
         rows = rows.astype(jnp.float32) * (1.0 / 32768.0)
     mel = _log_mel(rows, n_mels, use_pallas).astype(dtype)
     return W.encode(params, mel, n_head)
@@ -770,6 +813,7 @@ class WhisperEngine:
         # env-traced storage policies
         h.update(W.CROSS_KV_DTYPE.encode())
         h.update(W.SELF_KV_DTYPE.encode())
+        h.update(AUDIO_WIRE.encode())
         root = Path(__file__).resolve().parents[1]
         for rel in self._EXEC_SRC_FILES:
             try:
@@ -846,7 +890,7 @@ class WhisperEngine:
         bucket_samples -= bucket_samples % HOP_LENGTH
         p_len = len(W.build_prompt(self.config, "en"))
         max_new = self._max_new_for(bucket_sec)
-        rows = sds((batch_n, bucket_samples), jnp.int16)
+        rows = sds((batch_n, bucket_samples), _wire_dtype())
         prompt = sds((batch_n, p_len), jnp.int32)
         prompt_len = sds((batch_n,), jnp.int32)
         auto_mask = sds((batch_n,), jnp.bool_)
@@ -1336,11 +1380,13 @@ class WhisperEngine:
         bucket_samples -= bucket_samples % HOP_LENGTH
         batch_n = self._batch_bucket(n)
 
-        # rows ship as int16 PCM: the audio entered the server as PCM16 off
-        # the wire, so the int16 grid is exact for the serving path, and it
-        # HALVES the host->device transfer — the dominant per-dispatch cost
-        # on tunneled devices (measured ~1 s/round for 64x10s f32 rows).
-        # The device converts back to f32 inside _mel_encode.
+        # rows pack to int16 PCM (the audio entered the server as PCM16
+        # off the wire, so the int16 grid is exact), then compress to the
+        # configured AUDIO_WIRE for the host->device hop — 8-bit mu-law
+        # by default, a QUARTER of the original f32 rows. The transfer is
+        # the dominant per-dispatch cost on tunneled devices (measured
+        # ~1 s/round for 64x10s f32 rows, ~0.5 s for int16, ~0.25 s for
+        # mu-law). The device expands inside _mel_encode.
         rows = np.zeros((batch_n, bucket_samples), np.int16)
         durations = []
         for i, task in enumerate(group):
@@ -1362,7 +1408,7 @@ class WhisperEngine:
         # NB: do NOT wrap this in jax.default_device(...) — on the axon TPU
         # platform that context deadlocks jitted while_loop executions. The
         # params pytree is committed to the device, which pins placement.
-        rows_dev = jnp.asarray(rows)
+        rows_dev = jnp.asarray(_encode_wire_rows(rows))
 
         # langs[i] is None for auto rows: the detection runs ON DEVICE
         # inside the fused serve step (no encode->host->decode round-trip);

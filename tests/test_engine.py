@@ -494,6 +494,58 @@ def test_fp8_cross_kv_transcript_parity(monkeypatch):
     assert np.array_equal(outs["bf16"], outs["fp8"])
 
 
+def test_mulaw_wire_roundtrip():
+    """The mu-law wire (8-bit companded host->device rows, the serving
+    default) must encode monotonically over the int16 range and round-trip
+    speech-band audio at telephony-grade fidelity (>30 dB SNR)."""
+    from stt_tpu.engine import engine as E
+
+    lut = E._build_mulaw_lut()
+    # monotone non-decreasing in VALUE order (view-indexed LUT)
+    vals = np.arange(-32768, 32768, dtype=np.int16)
+    codes = lut[vals.view(np.uint16)]
+    assert (np.diff(codes.astype(np.int32)) >= 0).all()
+    assert codes.min() == 0 and codes.max() == 255
+    # round-trip SNR on speech-band audio (the bench signal)
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)
+         + 0.05 * rng.normal(0, 1, 16000)).astype(np.float32)
+    pcm = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+    y = lut[pcm.view(np.uint16)].astype(np.float32) / 127.5 - 1.0
+    rec = np.sign(y) * (np.exp2(8.0 * np.abs(y)) - 1.0) / 255.0
+    ref = pcm.astype(np.float32) / 32768.0
+    snr = 10 * np.log10(
+        float((ref ** 2).mean()) / float(((ref - rec) ** 2).mean() + 1e-20)
+    )
+    assert snr > 30.0, f"mu-law round-trip SNR {snr:.1f} dB"
+
+
+def test_audio_wire_modes_serve(monkeypatch):
+    """Both wire formats must serve through the full engine path (the
+    uint8 program expands on device inside _mel_encode). Transcript
+    parity on real checkpoints is the STT_WEIGHTS_DIR-gated A/B."""
+    from stt_tpu.engine import engine as E
+
+    for wire in ("int16", "mulaw"):
+        monkeypatch.setattr(E, "AUDIO_WIRE", wire)
+        monkeypatch.setattr(
+            E, "_MULAW_LUT",
+            E._build_mulaw_lut() if wire == "mulaw" else None,
+        )
+        eng = E.WhisperEngine(
+            "test", device="cpu", compute_type="float32",
+            audio_buckets_sec=(1.0,), batch_buckets=(1,),
+            max_decode_tokens=16,
+        )
+        try:
+            out = eng.transcribe_sync(_req(seed=7))
+            assert out.info.language == "en"
+            assert out.batch_rows == 1
+        finally:
+            eng.close()
+
+
 def test_non_canonical_options_bypass_exec_table():
     """Options outside the canonical set (timestamps here) must route
     through the jitted fallback path, not the prewarmed executable."""
@@ -531,7 +583,9 @@ def test_aot_placeholders_match_runtime_shapes():
     from stt_tpu.ops.mel import HOP_LENGTH, SAMPLE_RATE
     samples = int(bucket * SAMPLE_RATE)
     samples -= samples % HOP_LENGTH
-    aot_rows = jax.ShapeDtypeStruct((1, samples), "int16")
+    from stt_tpu.engine.engine import _wire_dtype
+
+    aot_rows = jax.ShapeDtypeStruct((1, samples), _wire_dtype())
     assert real_avals[0].shape == aot_rows.shape
     assert str(real_avals[0].dtype) == str(aot_rows.dtype)
     eng.close()

@@ -305,3 +305,55 @@ def test_serving_from_hf_checkpoint_dir(tmp_path):
             proc.wait(timeout=20)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STT_WEIGHTS_DIR"),
+    reason="real-weights mu-law wire parity gate: set STT_WEIGHTS_DIR "
+           "(see test_real_weights_accuracy)",
+)
+def test_real_weights_mulaw_wire_parity(monkeypatch):
+    """The mu-law audio wire (8-bit companded host->device rows, the
+    serving default — engine.AUDIO_WIRE) quantizes at ~38 dB SNR, far
+    above what the log-mel front end resolves; CI proves the round-trip
+    SNR on fixtures, and this gate lets a deployment verify transcript
+    parity against the lossless int16 wire on its actual checkpoint:
+    transcripts under both wires must match."""
+    import importlib
+
+    import wave
+
+    weights = os.environ["STT_WEIGHTS_DIR"]
+    fixture = os.environ.get("STT_SPEECH_FIXTURE")
+    if fixture:
+        with wave.open(fixture, "rb") as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        audio = pcm.astype(np.float32) / 32768.0
+    else:
+        rng = np.random.default_rng(3)
+        audio = (0.05 * rng.standard_normal(16000)).astype(np.float32)
+
+    texts = {}
+    for wire in ("mulaw", "int16"):
+        monkeypatch.setenv("STT_AUDIO_WIRE", wire)
+        import stt_tpu.engine.engine as E_mod
+
+        importlib.reload(E_mod)  # re-read the env-traced wire policy
+        from stt_tpu.backends.jax_whisper import JaxWhisperBackend
+
+        backend = JaxWhisperBackend(
+            "tiny", "cpu", "bfloat16", weights_path=weights,
+            audio_buckets_sec=(30.0,), batch_buckets=(1,),
+        )
+        try:
+            segments, _ = backend.transcribe(audio, {"language": "en"})
+            texts[wire] = " ".join(s.text for s in segments).strip()
+        finally:
+            backend.close()
+    monkeypatch.delenv("STT_AUDIO_WIRE")
+    importlib.reload(importlib.import_module("stt_tpu.engine.engine"))
+    assert texts["mulaw"] == texts["int16"], (
+        "the mu-law wire changed the transcript on real weights - set "
+        f"STT_AUDIO_WIRE=int16 in this deployment:\n"
+        f"  mulaw: {texts['mulaw']!r}\n  int16: {texts['int16']!r}"
+    )
