@@ -795,7 +795,8 @@ class WhisperEngine:
     # executables can never be loaded after a code or topology change.
 
     _EXEC_SRC_FILES = ("engine/engine.py", "models/whisper.py", "ops/mel.py",
-                       "ops/resample.py", "ops/pallas/mel.py")
+                       "ops/resample.py", "ops/pallas/mel.py",
+                       "ops/pallas/xattn_decode.py")
 
     def _exec_fingerprint(self) -> str:
         import hashlib
@@ -814,6 +815,7 @@ class WhisperEngine:
         h.update(W.CROSS_KV_DTYPE.encode())
         h.update(W.SELF_KV_DTYPE.encode())
         h.update(AUDIO_WIRE.encode())
+        h.update(W.XATTN_KERNEL.encode())
         root = Path(__file__).resolve().parents[1]
         for rel in self._EXEC_SRC_FILES:
             try:

@@ -365,6 +365,29 @@ def _flash_applicable(t: int) -> bool:
         return False
 
 
+# Cross-attention decode kernel policy: "auto" routes the per-step
+# cross-attention inside _decoder_step to the fused Pallas kernel on
+# non-CPU backends — the decode loop streams the whole cross K/V from
+# HBM every token and the XLA einsum pair reaches only ~half of HBM
+# peak there (round-3 profile: cross-attn was ~70% of the loop).
+# Default OFF: the first kernel (per-head unrolled dots, grid over
+# rows) measured 5x SLOWER in-loop than the einsum — Mosaic emits
+# ~1.5k tiny MXU ops per layer for this (B*H) batched-matvec shape,
+# and per-op overhead dominates the bandwidth-bound access. Kept for
+# A/B iteration (STT_XATTN_KERNEL=auto) until a batched formulation
+# beats the einsum; see tests/test_xattn_decode.py for parity.
+XATTN_KERNEL = os.getenv("STT_XATTN_KERNEL", "off").strip().lower()
+
+
+def _xattn_kernel_applicable() -> bool:
+    if XATTN_KERNEL in ("off", "0", "false"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _flash_self_attention(qh, kh, vh, sm_scale: float):
     """Pallas TPU flash attention over 128-padded sequences; padding is
     excluded via segment ids (pad rows form their own segment)."""
@@ -623,7 +646,13 @@ def _decoder_step(
         # cross-attention (precomputed, pre-split, pre-scaled K/V)
         hx = _layer_norm(h, block["ln_x"])
         qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
-        x_out = _attn_cached(qx, ck, cv).astype(h.dtype)
+        if _xattn_kernel_applicable():
+            from ..ops.pallas.xattn_decode import xattn_decode
+
+            x_out = xattn_decode(qx[:, :, 0, :], ck, cv)[:, :, None, :]
+            x_out = x_out.astype(h.dtype)
+        else:
+            x_out = _attn_cached(qx, ck, cv).astype(h.dtype)
         h = h + _linear(_merge_heads(x_out), block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
 

@@ -1,0 +1,57 @@
+"""Cross-attention decode kernel: routing policy + numerics.
+
+CPU: the policy must route AWAY from the Pallas kernel (einsum path),
+and the kernel's interpret mode must match the einsum reference.
+TPU: compiled-kernel numerics vs einsum (run on real devices only).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stt_tpu.models import whisper as W
+from stt_tpu.ops.pallas.xattn_decode import xattn_decode
+
+
+def _inputs(dtype, b=3, h=4, ta=40, dh=16, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, h, dh), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, ta, dh), jnp.float32).astype(dtype)
+    v = jax.random.normal(kv, (b, h, ta, dh), jnp.float32).astype(dtype)
+    return q, k, v
+
+
+def test_policy_off_on_cpu():
+    assert jax.default_backend() == "cpu"
+    assert not W._xattn_kernel_applicable()
+
+
+def test_policy_env_off(monkeypatch):
+    monkeypatch.setattr(W, "XATTN_KERNEL", "off")
+    assert not W._xattn_kernel_applicable()
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
+def test_interpret_matches_einsum(dtype):
+    """Interpret-mode kernel vs the _attn_cached einsum reference."""
+    q, k, v = _inputs(dtype)
+    out = np.asarray(xattn_decode(q, k, v, interpret=True))
+    ref = np.asarray(
+        W._attn_cached(q[:, :, None, :], k, v)[:, :, 0, :]
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu", reason="needs a TPU device"
+)
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
+def test_compiled_matches_einsum_on_tpu(dtype):
+    q, k, v = _inputs(dtype, b=4, h=12, ta=500, dh=64)
+    out = np.asarray(xattn_decode(q, k, v))
+    ref = np.asarray(
+        W._attn_cached(q[:, :, None, :], k, v)[:, :, 0, :]
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
