@@ -370,12 +370,16 @@ def _flash_applicable(t: int) -> bool:
 # non-CPU backends — the decode loop streams the whole cross K/V from
 # HBM every token and the XLA einsum pair reaches only ~half of HBM
 # peak there (round-3 profile: cross-attn was ~70% of the loop).
-# Default OFF: the first kernel (per-head unrolled dots, grid over
-# rows) measured 5x SLOWER in-loop than the einsum — Mosaic emits
-# ~1.5k tiny MXU ops per layer for this (B*H) batched-matvec shape,
-# and per-op overhead dominates the bandwidth-bound access. Kept for
-# A/B iteration (STT_XATTN_KERNEL=auto) until a batched formulation
-# beats the einsum; see tests/test_xattn_decode.py for parity.
+# Default OFF. Variants, selected by value (A/B record in ROADMAP,
+# measured with tools/ab_xattn_kernel.py at the serving shape
+# L12 B64 H12 Ta500 Dh64 fp8; einsum baseline 2.19 ms/step = 33% of
+# the 0.72 ms HBM floor):
+#   "vpu"/"auto" — elementwise multiply+reduce over row-grouped
+#     blocks: 27.0 ms/step (12x SLOWER) — Dh=64 underfills the 128
+#     lanes and both reductions cross lanes; kept for A/B history.
+#   "mxu" — per-head M=1 dots, grid over rows: 22.4 ms/step — Mosaic
+#     emits ~1.5k tiny MXU ops per layer; kept for A/B history.
+# See tests/test_xattn_decode.py for parity.
 XATTN_KERNEL = os.getenv("STT_XATTN_KERNEL", "off").strip().lower()
 
 
@@ -649,7 +653,10 @@ def _decoder_step(
         if _xattn_kernel_applicable():
             from ..ops.pallas.xattn_decode import xattn_decode
 
-            x_out = xattn_decode(qx[:, :, 0, :], ck, cv)[:, :, None, :]
+            variant = "mxu" if XATTN_KERNEL == "mxu" else "vpu"
+            x_out = xattn_decode(
+                qx[:, :, 0, :], ck, cv, variant=variant
+            )[:, :, None, :]
             x_out = x_out.astype(h.dtype)
         else:
             x_out = _attn_cached(qx, ck, cv).astype(h.dtype)

@@ -57,26 +57,70 @@ def _xattn_kernel(q_ref, k_ref, v_ref, o_ref):
         )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def xattn_decode(q, k, v, *, interpret: bool = False):
+def _xattn_kernel_vpu(q_ref, k_ref, v_ref, o_ref):
+    """VPU formulation: the op is pure HBM streaming (arithmetic
+    intensity ~2 FLOP/byte), so the MXU buys nothing — the first
+    kernel's per-head M=1 dots wasted 127/128 MXU rows and lost 5x to
+    per-op overhead. Here each head is an elementwise multiply +
+    reduction pair on the VPU while the Pallas pipeline double-buffers
+    the next row-group's contiguous K/V DMA under the compute.
+
+    Block: q (G, H, Dh), k/v (G, H, Ta, Dh) storage dtype, o (G, H, Dh)
+    f32. All products are exact f32 (bf16 inputs upcast), sums f32 —
+    same accumulation semantics as the einsum's MXU f32 accumulate up
+    to reduction order."""
+    n_head = q_ref.shape[1]
+    for h in range(n_head):  # unrolled; H is small (8..20)
+        kh = k_ref[:, h, :, :].astype(jnp.float32)     # (G, Ta, Dh)
+        qh = q_ref[:, h, :].astype(jnp.float32)        # (G, Dh)
+        s = jnp.sum(kh * qh[:, None, :], axis=-1)      # (G, Ta)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        w = p / jnp.sum(p, axis=-1, keepdims=True)
+        vh = v_ref[:, h, :, :].astype(jnp.float32)     # (G, Ta, Dh)
+        o_ref[:, h, :] = jnp.sum(w[:, :, None] * vh, axis=1)
+
+
+def _row_group(b: int, h: int, ta: int, dh: int, itemsize: int) -> int:
+    """Rows per grid step: largest divisor of B whose double-buffered
+    K+V block stays under ~8 MB of VMEM (v5e VMEM is 128 MB; stay far
+    below so the serve program's other buffers fit alongside)."""
+    budget = 8 * 1024 * 1024
+    per_row = 2 * h * ta * dh * itemsize
+    g = max(1, min(b, budget // (2 * per_row)))
+    while b % g:
+        g -= 1
+    return g
+
+
+@partial(jax.jit, static_argnames=("interpret", "variant"))
+def xattn_decode(q, k, v, *, interpret: bool = False,
+                 variant: str = "vpu"):
     """Single-position cross-attention over precomputed K/V.
 
     q: (B, H, Dh) — query for ONE decode position, pre-scaled by
        d_head**-0.25 (K arrives pre-scaled from precompute_cross_kv).
     k, v: (B, H, Ta, Dh) in their storage dtype.
+    variant: "vpu" (elementwise multiply+reduce, row-grouped grid) or
+       "mxu" (first attempt: per-head M=1 dots, kept for A/B history).
     Returns (B, H, Dh) float32.
     """
     b, h, dh = q.shape
     ta = k.shape[2]
+    if variant == "mxu":
+        g, kernel = 1, _xattn_kernel
+    else:
+        g = _row_group(b, h, ta, dh, jnp.dtype(k.dtype).itemsize)
+        kernel = _xattn_kernel_vpu
     return pl.pallas_call(
-        _xattn_kernel,
-        grid=(b,),
+        kernel,
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, h, dh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, h, ta, dh), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, ta, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, h, ta, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, ta, dh), lambda i: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, dh), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, h, dh), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, dh), jnp.float32),
         interpret=interpret,
     )(q, k, v)

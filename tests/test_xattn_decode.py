@@ -33,24 +33,38 @@ def test_policy_env_off(monkeypatch):
     assert not W._xattn_kernel_applicable()
 
 
+@pytest.mark.parametrize("variant", ["mxu", "vpu"])
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
-def test_interpret_matches_einsum(dtype):
+def test_interpret_matches_einsum(dtype, variant):
     """Interpret-mode kernel vs the _attn_cached einsum reference."""
     q, k, v = _inputs(dtype)
-    out = np.asarray(xattn_decode(q, k, v, interpret=True))
+    out = np.asarray(xattn_decode(q, k, v, interpret=True,
+                                  variant=variant))
     ref = np.asarray(
         W._attn_cached(q[:, :, None, :], k, v)[:, :, 0, :]
     )
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_vpu_row_group_divides_batch():
+    """Row-group picker returns a divisor of B under the VMEM budget
+    for the serving shapes (64 rows x 12 heads x 500 frames)."""
+    from stt_tpu.ops.pallas.xattn_decode import _row_group
+
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        g = _row_group(b, 12, 500, 64, 1)
+        assert b % g == 0 and g >= 1
+        assert 2 * 2 * g * 12 * 500 * 64 * 1 <= 16 * 1024 * 1024
+
+
 @pytest.mark.skipif(
     jax.default_backend() == "cpu", reason="needs a TPU device"
 )
+@pytest.mark.parametrize("variant", ["mxu", "vpu"])
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
-def test_compiled_matches_einsum_on_tpu(dtype):
+def test_compiled_matches_einsum_on_tpu(dtype, variant):
     q, k, v = _inputs(dtype, b=4, h=12, ta=500, dh=64)
-    out = np.asarray(xattn_decode(q, k, v))
+    out = np.asarray(xattn_decode(q, k, v, variant=variant))
     ref = np.asarray(
         W._attn_cached(q[:, :, None, :], k, v)[:, :, 0, :]
     )

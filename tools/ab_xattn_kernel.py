@@ -1,0 +1,145 @@
+"""A/B the cross-attention decode-step formulations on the real device.
+
+Emulates the serve decode loop's cross-attention traffic exactly: the
+10 s bucket's (B=64, H=12, Ta=500, Dh=64) fp8 K/V for all 12 layers,
+statically indexed per layer (as the unrolled decode loop does), inside
+a fori_loop over decode steps with a loop-carried query (defeats
+loop-invariant hoisting). Per-step wall = total / steps; the HBM floor
+for the shape is 2*L*B*H*Ta*Dh bytes / 819 GB/s (v5e).
+
+Variants: einsum (the serving default, models/whisper._attn_cached),
+vpu (ops/pallas/xattn_decode variant="vpu"), mxu (first attempt).
+
+Timing is fetch-based (np.asarray of a scalar), not block_until_ready —
+the axon tunnel makes block_until_ready unreliable (ROADMAP round-3
+notes); the constant fetch cost is amortized over `--steps`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--b", type=int, default=64)
+    parser.add_argument("--heads", type=int, default=12)
+    parser.add_argument("--ta", type=int, default=500)
+    parser.add_argument("--dh", type=int, default=64)
+    parser.add_argument("--layers", type=int, default=12)
+    parser.add_argument("--steps", type=int, default=40)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--kv-dtype", default="fp8",
+                        choices=["fp8", "bf16"])
+    parser.add_argument("--variants", default="einsum,vpu")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from stt_tpu.models.whisper import _attn_cached
+    from stt_tpu.ops.pallas.xattn_decode import xattn_decode
+
+    b, h, ta, dh, nl = args.b, args.heads, args.ta, args.dh, args.layers
+    store = jnp.float8_e4m3fn if args.kv_dtype == "fp8" else jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    t0 = time.monotonic()
+    q0 = jax.random.normal(kq, (b, h, dh), jnp.float32).astype(jnp.bfloat16)
+
+    # per-layer normals: a single (nl, b, h, ta, dh) f32 normal peaks at
+    # ~12 GB HBM before the fp8 cast — layerwise stays ~1 GB per step
+    def kv_stack(key):
+        layers = []
+        for li in range(nl):
+            key, sub = jax.random.split(key)
+            layers.append(
+                jax.random.normal(sub, (b, h, ta, dh), jnp.float32)
+                .astype(store)
+            )
+        return jnp.stack(layers)
+
+    k = kv_stack(kk)
+    v = kv_stack(kv)
+    log(f"inputs dispatched {time.monotonic() - t0:.1f}s")
+    # tiny fetch: materializes the inputs AND opens the device->host
+    # transfer channel (first readback pays ~90s setup on the tunnel)
+    # outside the measured walls
+    t0 = time.monotonic()
+    float(np.asarray(jnp.sum(q0).astype(jnp.float32)))
+    float(np.asarray(jnp.max(k[0, 0, 0, 0].astype(jnp.float32))))
+    float(np.asarray(jnp.max(v[-1, -1, -1, -1].astype(jnp.float32))))
+    log(f"inputs materialized + channel open {time.monotonic() - t0:.1f}s")
+
+    kv_bytes = 2 * nl * b * h * ta * dh * jnp.dtype(store).itemsize
+    floor_ms = kv_bytes / 819e9 * 1e3
+    log(f"K/V per step: {kv_bytes / 1e6:.0f} MB "
+        f"-> HBM floor {floor_ms:.2f} ms/step (v5e 819 GB/s)")
+
+    def build(op):
+        # k/v must be jit ARGUMENTS, not closures: closed-over device
+        # arrays lower as embedded HLO constants — ~6 GB of constant
+        # data serialized into the program (minutes of "compile")
+        def layer_pass(q, kk_, vv_):
+            for li in range(nl):
+                out = op(q, kk_[li], vv_[li])  # static index per layer
+                q = q + 0.001 * out.astype(q.dtype)
+            return q
+
+        @jax.jit
+        def run(q, kk_, vv_):
+            return jax.lax.fori_loop(
+                0, args.steps, lambda s, qq: layer_pass(qq, kk_, vv_), q
+            )[0, 0, 0]
+
+        return run
+
+    ops = {
+        "einsum": lambda q, kk_, vv_: _attn_cached(
+            q[:, :, None, :], kk_, vv_
+        )[:, :, 0, :],
+        "vpu": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="vpu"),
+        "mxu": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="mxu"),
+    }
+
+    results = {}
+    for name in [x.strip() for x in args.variants.split(",") if x.strip()]:
+        run = build(ops[name])
+        t0 = time.monotonic()
+        compiled = run.lower(q0, k, v).compile()
+        log(f"{name}: compile {time.monotonic() - t0:.1f}s")
+        run = compiled
+        t0 = time.monotonic()
+        float(np.asarray(run(q0, k, v)))  # first execute (finalization)
+        log(f"{name}: first execute {time.monotonic() - t0:.1f}s")
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.monotonic()
+            float(np.asarray(run(q0, k, v)))
+            walls.append(time.monotonic() - t0)
+        per_step_ms = sorted(walls)[len(walls) // 2] / args.steps * 1e3
+        results[name] = round(per_step_ms, 3)
+        log(f"{name}: per-step {per_step_ms:.3f} ms "
+            f"(walls {[f'{w:.3f}' for w in walls]}, "
+            f"{floor_ms / per_step_ms * 100:.0f}% of HBM peak)")
+
+    print(json.dumps({
+        "shape": f"L{nl} B{b} H{h} Ta{ta} Dh{dh} {args.kv_dtype}",
+        "steps": args.steps, "floor_ms_per_step": round(floor_ms, 3),
+        "per_step_ms": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
