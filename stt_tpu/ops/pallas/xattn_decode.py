@@ -32,6 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _xattn_kernel(q_ref, k_ref, v_ref, o_ref):
@@ -81,6 +82,57 @@ def _xattn_kernel_vpu(q_ref, k_ref, v_ref, o_ref):
         o_ref[:, h, :] = jnp.sum(w[:, :, None] * vh, axis=1)
 
 
+def _xattn_kernel_mm(q_ref, k_ref, v_ref, o_ref):
+    """Matmul-diagonal formulation: both contractions run as ONE large
+    MXU matmul per block by merging (rows, heads) into the output lane
+    dimension and extracting the valid (row, head) diagonal with a
+    mask.
+
+    The batched-matvec's problem on the MXU is M=1 per (b, h) pair —
+    the "mxu" variant pays ~per-op overhead x B x H. Here instead:
+
+        scores  S = K2 (G*H*Ta, Dh) @ Q2^T          -> (G*H*Ta, G*H)
+        mix     Y = W^T (G*H*Ta, G*H) ^T-contracted with
+                    V2 (G*H*Ta, Dh)                 -> (G*H, Dh)
+
+    Each (row-block r, query j) column pair is computed, but only the
+    j == r diagonal is kept (identity mask after the per-(r, j)
+    softmax) — (G*H)x redundant MXU flops, which is noise next to the
+    HBM stream the block DMA already pays (arithmetic intensity stays
+    ~2 * G*H flops/byte ~ 100, far under the MXU roofline). The
+    fp8 -> bf16 convert is inlined after the tile read.
+
+    Block: q (G, H, Dh), k/v (G, H, Ta, Dh) storage dtype, o (G, H, Dh)
+    f32. f32 scores, max-subtracted softmax, bf16 weights into an
+    f32-accumulated mix — the einsum path's numerics."""
+    g, h, dh = q_ref.shape
+    ta = k_ref.shape[2]
+    gh = g * h
+    k2 = k_ref[...].astype(jnp.bfloat16).reshape(gh * ta, dh)
+    q2 = q_ref[...].astype(jnp.bfloat16).reshape(gh, dh)
+    s = jax.lax.dot_general(                       # (gh*ta, gh) f32
+        k2, q2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(gh, ta, gh)
+    # softmax over ta at every (r, j) lane; only j == r survives below
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    w = p / jnp.sum(p, axis=1, keepdims=True)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (gh, 1, gh), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (gh, 1, gh), 2)
+    )
+    wt = (w * eye.astype(w.dtype)).astype(jnp.bfloat16).reshape(
+        gh * ta, gh
+    )
+    v2 = v_ref[...].astype(jnp.bfloat16).reshape(gh * ta, dh)
+    y = jax.lax.dot_general(                       # (gh, dh) f32
+        wt, v2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = y.reshape(g, h, dh)
+
+
 def _row_group(b: int, h: int, ta: int, dh: int, itemsize: int) -> int:
     """Rows per grid step: largest divisor of B whose double-buffered
     K+V block stays under ~8 MB of VMEM (v5e VMEM is 128 MB; stay far
@@ -101,20 +153,38 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
     q: (B, H, Dh) — query for ONE decode position, pre-scaled by
        d_head**-0.25 (K arrives pre-scaled from precompute_cross_kv).
     k, v: (B, H, Ta, Dh) in their storage dtype.
-    variant: "vpu" (elementwise multiply+reduce, row-grouped grid) or
-       "mxu" (first attempt: per-head M=1 dots, kept for A/B history).
+    variant: "mm" (merged-head matmul + diagonal mask), "vpu"
+       (elementwise multiply+reduce, row-grouped grid) or "mxu"
+       (first attempt: per-head M=1 dots, kept for A/B history).
     Returns (B, H, Dh) float32.
     """
     b, h, dh = q.shape
     ta = k.shape[2]
     if variant == "mxu":
         g, kernel = 1, _xattn_kernel
+    elif variant == "mm":
+        g = _row_group(b, h, ta, dh, jnp.dtype(k.dtype).itemsize)
+        # the (G*H*Ta, G*H) f32 score/weight buffers (lane-padded to
+        # 128) dominate VMEM for this variant — cap them at ~12 MB
+        while g > 1 and g * h * ta * 128 * 4 > 12 * 1024 * 1024:
+            g -= 1
+            while b % g:
+                g -= 1
+        kernel = _xattn_kernel_mm
     else:
         g = _row_group(b, h, ta, dh, jnp.dtype(k.dtype).itemsize)
         kernel = _xattn_kernel_vpu
+    params = None
+    if variant == "mm":
+        # the merged f32 score/weight buffers exceed Mosaic's default
+        # 16 MB scoped-vmem stack — raise the cap for this kernel
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((g, h, dh), lambda i: (i, 0, 0)),
             pl.BlockSpec((g, h, ta, dh), lambda i: (i, 0, 0, 0)),

@@ -111,6 +111,7 @@ def main():
         )[:, :, 0, :],
         "vpu": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="vpu"),
         "mxu": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="mxu"),
+        "mm": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="mm"),
     }
 
     results = {}
