@@ -544,8 +544,19 @@ class WhisperEngine:
         if self._mesh is not None:
             from ..parallel.sharding import shard_params
 
+            # quantized leaves have no sharding rules; the experiment is
+            # single-device serving only
+            if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
+                LOGGER.warning(
+                    "STT_DECODER_WEIGHTS_DTYPE=%s ignored under a mesh",
+                    W.DECODER_WEIGHTS_DTYPE,
+                )
             self.params = shard_params(params, self._mesh)
         else:
+            if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
+                params["decoder"] = W.quantize_decoder_weights(
+                    params["decoder"], self._dtype
+                )
             self.params = jax.device_put(params, self._device)
         jax.block_until_ready(self.params)
         self.load_seconds = time.monotonic() - t0
@@ -816,6 +827,7 @@ class WhisperEngine:
         h.update(W.SELF_KV_DTYPE.encode())
         h.update(AUDIO_WIRE.encode())
         h.update(W.XATTN_KERNEL.encode())
+        h.update(W.DECODER_WEIGHTS_DTYPE.encode())
         root = Path(__file__).resolve().parents[1]
         for rel in self._EXEC_SRC_FILES:
             try:

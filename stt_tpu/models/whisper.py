@@ -330,7 +330,15 @@ def _layer_norm(x, p):
 
 
 def _linear(x, p):
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "wq" in p:
+        # quantized storage (see quantize_decoder_weights): the narrow
+        # weight converts in the operand read; int8's per-out-channel
+        # scale applies to the f32 accumulator (same matmul semantics)
+        y = jnp.dot(x, p["wq"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = y * p["ws"].astype(jnp.float32)
+    else:
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -560,6 +568,95 @@ def _cross_store_dtype(compute_dtype):
     return None
 
 
+# Decoder weight storage: every decode step streams every decoder
+# linear weight + the token table from HBM (~280 MB/step bf16 for
+# whisper-small — the second-largest per-step term after the cross-KV).
+# int8 with symmetric per-out-channel scales halves it (the reference's
+# own fast path serves int8 by default: faster_whisper compute_type
+# int8_float16, BASELINE.md profiles). A straight fp8_e4m3 cast was
+# also tried and REJECTED: same byte width but only a 3-bit mantissa
+# and no per-channel scaling — token agreement collapsed to 42% on the
+# hermetic tiny model vs int8's 96%. EXPERIMENTAL, default bf16 —
+# promote only with an on-device A/B and a real-weights accuracy check
+# (tests/test_integration_backends.py gates).
+DECODER_WEIGHTS_DTYPE = os.getenv(
+    "STT_DECODER_WEIGHTS_DTYPE", "bf16"
+).strip().lower()
+
+
+def _quant_linear_leaf(w, reduce_axes):
+    """Symmetric int8 {'wq','ws'} with per-out-channel scales over
+    ``reduce_axes``; exact dequant bound |w - wq*ws| <= ws/2."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.round(wf / s).astype(jnp.int8)
+    return {"wq": q, "ws": jnp.squeeze(s, axis=reduce_axes)}
+
+
+def quantize_decoder_weights(dec, compute_dtype):
+    """Return a decoder-params copy with int8 linear weights + token
+    table when DECODER_WEIGHTS_DTYPE selects it ('bf16' or non-bf16
+    compute = no-op). Biases, layer norms, and positional tables stay
+    bf16. Stacked block weights (L, d_in, d_out) quantize per (layer,
+    out-channel); the token table (V, d) per d-column so one scale
+    vector serves both the embedding gather and the logits matmul."""
+    if DECODER_WEIGHTS_DTYPE not in ("int8", "i8"):
+        return dec
+    if compute_dtype != jnp.bfloat16:
+        return dec
+
+    def quant_block_tree(tree):
+        out = {}
+        for name, sub in tree.items():
+            if isinstance(sub, dict) and "w" in sub:
+                leaf = dict(sub)
+                w = leaf.pop("w")
+                leaf.update(_quant_linear_leaf(w, (1,)))
+                out[name] = leaf
+            elif isinstance(sub, dict):
+                out[name] = quant_block_tree(sub)
+            else:
+                out[name] = sub
+        return out
+
+    new = dict(dec)
+    blocks = dict(dec["blocks"])
+    for key in ("attn", "xattn", "mlp"):
+        if key in blocks:
+            blocks[key] = quant_block_tree(blocks[key])
+    new["blocks"] = blocks
+    new["tok"] = _quant_linear_leaf(dec["tok"], (0,))
+    return new
+
+
+def _tok_embed(dec, tokens):
+    """Token-embedding gather, dequantizing when the table is stored
+    8-bit (per-column scale)."""
+    tok = dec["tok"]
+    if isinstance(tok, dict):
+        e = tok["wq"][tokens].astype(jnp.bfloat16)
+        return e * tok["ws"].astype(jnp.bfloat16)
+    return tok[tokens]
+
+
+def _tok_logits(dec, x):
+    """Vocab logits against the (possibly quantized) token table: with
+    a per-column scale s, x @ (q * s).T == (x * s) @ q.T — the scale
+    folds into the small activation instead of the (V, d) table."""
+    tok = dec["tok"]
+    if isinstance(tok, dict):
+        x = x * tok["ws"].astype(x.dtype)
+        return jnp.dot(x, tok["wq"].T.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(x, tok.T, preferred_element_type=jnp.float32)
+
+
+def _tok_dtype(dec):
+    tok = dec["tok"]
+    return jnp.bfloat16 if isinstance(tok, dict) else tok.dtype
+
+
 def precompute_cross_kv(params, enc_out, n_head):
     """Cross-attention K/V for all layers, head-split and k pre-scaled:
     (L, B, H, T_audio, Dh) each. Computed once per window; every decode
@@ -603,7 +700,7 @@ def _decoder_step(
     valid cache entries (== pos). Returns (logits (B, V), new cache).
     """
     dec = params["decoder"]
-    x = dec["tok"][tokens][:, None, :]  # (B, 1, d)
+    x = _tok_embed(dec, tokens)[:, None, :]  # (B, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, axis=0)[None].astype(
         x.dtype
     )
@@ -653,7 +750,10 @@ def _decoder_step(
         if _xattn_kernel_applicable():
             from ..ops.pallas.xattn_decode import xattn_decode
 
-            variant = "mxu" if XATTN_KERNEL == "mxu" else "vpu"
+            variant = (
+                XATTN_KERNEL if XATTN_KERNEL in ("mxu", "vpu", "mm")
+                else "mm"
+            )
             x_out = xattn_decode(
                 qx[:, :, 0, :], ck, cv, variant=variant
             )[:, :, None, :]
@@ -664,9 +764,7 @@ def _decoder_step(
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
 
     x = _layer_norm(h, dec["ln"])
-    logits = jnp.dot(
-        x[:, 0, :], dec["tok"].T, preferred_element_type=jnp.float32
-    )
+    logits = _tok_logits(dec, x[:, 0, :])
     return logits, KVCache(k_cache, v_cache)
 
 
@@ -684,7 +782,9 @@ def decoder_forward(
     """
     dec = params["decoder"]
     b, t = tokens.shape
-    x = dec["tok"][tokens] + dec["pos"][:t][None].astype(dec["tok"].dtype)
+    x = _tok_embed(dec, tokens) + dec["pos"][:t][None].astype(
+        _tok_dtype(dec)
+    )
     causal = jnp.where(
         jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
     )[None, None]
@@ -703,7 +803,7 @@ def decoder_forward(
 
     x, _ = jax.lax.scan(layer, x, (dec["blocks"], xk, xv))
     x = _layer_norm(x, dec["ln"])
-    return jnp.dot(x, dec["tok"].T, preferred_element_type=jnp.float32)
+    return _tok_logits(dec, x)
 
 
 # ---------------------------------------------------------------------------
@@ -1093,7 +1193,9 @@ def cross_attention_weights(
     """
     dec = params["decoder"]
     b, t = tokens.shape
-    x = dec["tok"][tokens] + dec["pos"][:t][None].astype(dec["tok"].dtype)
+    x = _tok_embed(dec, tokens) + dec["pos"][:t][None].astype(
+        _tok_dtype(dec)
+    )
     causal = jnp.where(
         jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
     )[None, None]
@@ -1875,5 +1977,6 @@ __all__ = [
     "init_params",
     "load_hf_safetensors",
     "precompute_cross_kv",
+    "quantize_decoder_weights",
     "token_layout",
 ]

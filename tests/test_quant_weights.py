@@ -1,0 +1,161 @@
+"""int8 decoder-weight storage (STT_DECODER_WEIGHTS_DTYPE=int8).
+
+Every decode step streams every decoder linear weight plus the token
+table from HBM; int8 storage (symmetric per-out-channel scales) halves
+that term. These tests pin the quantizer's math (exact dequant bound,
+structure, dtypes) and bound the end-to-end effect against bf16 on the
+hermetic tiny model.
+
+Threshold rationale: random-weight models have near-zero argmax
+margins, so exact transcript parity is a stricter bar than any real
+checkpoint faces — measured agreement on the fixed seeds is 96% for
+int8 (vs 42% for a straight fp8 cast, which is why no fp8 weights mode
+exists). Real-checkpoint accuracy is covered by the env-gated
+integration test (STT_WEIGHTS_DIR) before the flag may be promoted.
+
+Reference practice anchor: the reference's fast path serves int8 by
+default (faster_whisper compute_type int8_float16; BASELINE.md
+benchmark profiles are faster_whisper/int8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import stt_tpu.models.whisper as W
+
+
+def _tiny_params():
+    cfg = W.get_config("tiny")
+    return W.init_params(cfg, seed=0, dtype=jnp.bfloat16), cfg
+
+
+def _quantize(dec, monkeypatch, mode="int8"):
+    monkeypatch.setattr(W, "DECODER_WEIGHTS_DTYPE", mode)
+    return W.quantize_decoder_weights(dec, jnp.bfloat16)
+
+
+def test_noop_for_bf16_policy(monkeypatch):
+    params, _ = _tiny_params()
+    out = _quantize(params["decoder"], monkeypatch, mode="bf16")
+    assert out is params["decoder"]
+
+
+def test_noop_for_non_bf16_compute(monkeypatch):
+    params, _ = _tiny_params()
+    monkeypatch.setattr(W, "DECODER_WEIGHTS_DTYPE", "int8")
+    out = W.quantize_decoder_weights(params["decoder"], jnp.float32)
+    assert out is params["decoder"]
+
+
+def test_int8_structure_and_dequant_bound(monkeypatch):
+    params, _ = _tiny_params()
+    dec = params["decoder"]
+    q = _quantize(dec, monkeypatch)
+
+    # token table: per-column scale, int8 storage
+    assert q["tok"]["wq"].dtype == jnp.int8
+    assert q["tok"]["ws"].shape == (dec["tok"].shape[1],)
+    # stacked block weights: (L, d_in, d_out) -> scales (L, d_out)
+    w = dec["blocks"]["attn"]["q"]["w"]
+    wq = q["blocks"]["attn"]["q"]["wq"]
+    ws = q["blocks"]["attn"]["q"]["ws"]
+    assert wq.dtype == jnp.int8 and wq.shape == w.shape
+    assert ws.shape == (w.shape[0], w.shape[2])
+    # biases / norms / pos untouched
+    assert q["blocks"]["attn"]["q"]["b"].dtype == jnp.bfloat16
+    assert q["blocks"]["ln1"]["g"].dtype == jnp.bfloat16
+    assert q["pos"].dtype == jnp.bfloat16
+
+    # exact symmetric-quantization bound: |w - wq*ws| <= ws/2
+    deq = np.asarray(wq, np.float32) * np.asarray(ws, np.float32)[:, None, :]
+    err = np.abs(np.asarray(w, np.float32) - deq)
+    bound = np.asarray(ws, np.float32)[:, None, :] / 2 + 1e-8
+    assert (err <= bound).all()
+
+
+def _step_logits(params, cfg, dec_params, enc):
+    p = {"encoder": params["encoder"], "decoder": dec_params}
+    ckv = W.precompute_cross_kv(p, enc, cfg.n_text_head)
+    cache = W.init_kv_cache(cfg, enc.shape[0], 8, dtype=jnp.bfloat16)
+    sot = jnp.full(
+        (enc.shape[0],), W.token_layout(cfg.n_vocab).sot, jnp.int32
+    )
+    logits, _ = W._decoder_step(
+        p, sot, 0, cache, ckv, cfg.n_text_head, 0
+    )
+    return np.asarray(logits, np.float32)
+
+
+def test_decoder_step_logits_close(monkeypatch):
+    """Single decode-step logits with int8 weights stay within a few
+    percent of bf16 (measured 3.4% on the fixed seed)."""
+    params, cfg = _tiny_params()
+    rng = jax.random.PRNGKey(1)
+    enc = jax.random.normal(
+        rng, (2, 12, cfg.n_text_state), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = _step_logits(params, cfg, params["decoder"], enc)
+    out = _step_logits(
+        params, cfg, _quantize(params["decoder"], monkeypatch), enc
+    )
+    denom = np.maximum(np.abs(ref).max(), 1.0)
+    assert np.abs(out - ref).max() / denom < 0.06
+
+
+def test_greedy_transcript_agreement_tiny(monkeypatch):
+    """Greedy decode over the random tiny model: int8 weights keep the
+    token stream near-identical to bf16 (measured 96% on this seed —
+    random weights have near-zero argmax margins, so this is the WORST
+    case; the gated real-weights test is the promotion bar)."""
+    params, cfg = _tiny_params()
+    rng = jax.random.PRNGKey(2)
+    b = 2
+    enc = jax.random.normal(
+        rng, (b, 12, cfg.n_text_state), jnp.float32
+    ).astype(jnp.bfloat16)
+    prompt = jnp.tile(
+        jnp.array(
+            W.build_prompt(cfg, "en", without_timestamps=True), jnp.int32
+        )[None],
+        (b, 1),
+    )
+    p_len = jnp.full((b,), prompt.shape[1], jnp.int32)
+
+    def run(dec_params):
+        p = {"encoder": params["encoder"], "decoder": dec_params}
+        res = W.greedy_decode(
+            p, enc, prompt, p_len, None, cfg, cfg.n_text_head,
+            max_new_tokens=8,
+        )
+        return np.asarray(res.tokens)
+
+    ref = run(params["decoder"])
+    out = run(_quantize(params["decoder"], monkeypatch))
+    assert (ref == out).mean() >= 0.9
+
+
+def test_engine_serves_with_int8_weights(monkeypatch):
+    """End-to-end: an engine built under the int8 policy transcribes
+    through the normal serve path (fake-free, real jax model)."""
+    monkeypatch.setenv("STT_DECODER_WEIGHTS_DTYPE", "int8")
+    monkeypatch.setattr(W, "DECODER_WEIGHTS_DTYPE", "int8")
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    engine = WhisperEngine(
+        "tiny", device="cpu", compute_type="bfloat16", max_batch=2,
+        batch_buckets=(1, 2),
+    )
+    engine.start()
+    try:
+        # the placed decoder params must actually be quantized
+        assert engine.params["decoder"]["tok"]["wq"].dtype == jnp.int8
+        audio = np.sin(
+            2 * np.pi * 220 * np.arange(16000) / 16000
+        ).astype(np.float32)
+        out = engine.transcribe_sync(
+            DecodeRequest(audio=audio, language="en")
+        )
+        assert out.segments is not None and out.info is not None
+    finally:
+        engine.close()
