@@ -329,9 +329,7 @@ class CreateSessionHandler:
         return {k: v for k, v in attributes.items() if k not in _AUTH_ATTRIBUTE_KEYS}
 
     def _validate_signed_token(
-        self,
-        session_id: str,
-        metadata: Dict[str, str],
+        self, session_id: str, metadata: Dict[str, str],
         context: grpc.ServicerContext,
     ) -> None:
         secret = (self._config.create_session_auth_secret or "").strip()
@@ -420,17 +418,17 @@ class CreateSessionHandler:
                 abort_with_error(context, ErrorCode.SESSION_LIMIT_EXCEEDED)
 
     def _resolve_vad_threshold(
-        self,
-        value: float,
-        context: grpc.ServicerContext,
+        self, value: float, context: grpc.ServicerContext,
         allow_default: bool = True,
     ) -> float:
-        if value < 0:
-            LOGGER.error(format_error(ErrorCode.VAD_THRESHOLD_NEGATIVE))
-            abort_with_error(context, ErrorCode.VAD_THRESHOLD_NEGATIVE)
-        if allow_default and value == 0:
-            return self._config.default_vad_threshold
-        return value
+        """Negative is a client error; 0 means "use the server default"
+        (unless the caller already resolved a default)."""
+        if value >= 0:
+            if value == 0 and allow_default:
+                return self._config.default_vad_threshold
+            return value
+        LOGGER.error(format_error(ErrorCode.VAD_THRESHOLD_NEGATIVE))
+        abort_with_error(context, ErrorCode.VAD_THRESHOLD_NEGATIVE)
 
     # -- the pipeline ----------------------------------------------------------
 
