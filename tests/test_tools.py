@@ -116,3 +116,57 @@ def test_run_manager_artifact_path_traversal_blocked(tmp_path):
 def test_fetch_kpis_unreachable():
     out = fetch_kpis("http://127.0.0.1:1")
     assert out["ok"] is False and out["error"]
+
+
+def test_run_manager_targets(tmp_path, monkeypatch):
+    """targets.json schema + target_id resolution + probe of a dead target
+    (reference core/run_manager.py:430-470)."""
+    targets = tmp_path / "targets.json"
+    targets.write_text(json.dumps([
+        {"id": "local", "grpc_target": "127.0.0.1:1",
+         "http_base": "http://127.0.0.1:1"},
+        {"grpc_target": "no-id:1"},          # invalid: dropped
+        "not-a-dict",                         # invalid: dropped
+    ]))
+    manager = RunManager(tmp_path / "runs", "127.0.0.1:1",
+                         targets_path=targets)
+    listed = manager.list_targets()
+    assert [t["id"] for t in listed] == ["local"]
+    assert manager.get_target("nope") is None
+
+    status = manager.probe_target(manager.get_target("local"))
+    assert status["target_id"] == "local"
+    assert status["grpc_ok"] is False and status["http_ok"] is False
+    assert status["last_ok_ts"] is None and status["rtt_ms"] >= 0
+
+    # target_id resolves the grpc target for a spawned run
+    spawned = []
+
+    class FakeProc:
+        def __init__(self, cmd, **kw):
+            self.cmd = cmd
+            spawned.append(cmd)
+
+        def wait(self):
+            return 0
+
+        def terminate(self):
+            pass
+
+    import tools.web_dashboard.server as mod
+
+    monkeypatch.setattr(mod.subprocess, "Popen", FakeProc)
+    record = manager.start_run({"sessions": 1, "target_id": "local"})
+    # resolved grpc target landed on the command line
+    cmd = spawned[0]
+    assert cmd[cmd.index("--target") + 1] == "127.0.0.1:1"
+    with pytest.raises(ValueError):
+        manager.start_run({"sessions": 1, "target_id": "missing"})
+    started = [r for r in manager.list_runs() if r["id"] == record["id"]]
+    assert started and started[0]["params"]["target_id"] == "local"
+
+
+def test_run_manager_targets_missing_file(tmp_path):
+    manager = RunManager(tmp_path / "runs", "127.0.0.1:1",
+                         targets_path=tmp_path / "absent.json")
+    assert manager.list_targets() == []

@@ -34,21 +34,108 @@ STATIC_DIR = Path(__file__).parent / "static"
 class RunManager:
     """Spawn and track grpc_load_test runs with on-disk artifacts."""
 
-    def __init__(self, runs_dir: Path, stt_grpc: str) -> None:
+    def __init__(
+        self,
+        runs_dir: Path,
+        stt_grpc: str,
+        targets_path: Optional[Path] = None,
+    ) -> None:
         self.runs_dir = runs_dir
         self.stt_grpc = stt_grpc
+        self.targets_path = (
+            targets_path
+            if targets_path is not None
+            else Path(__file__).parent / "targets.json"
+        )
         self.runs_dir.mkdir(parents=True, exist_ok=True)
         self._lock = threading.Lock()
         self._runs: Dict[str, Dict[str, Any]] = {}
         self._procs: Dict[str, subprocess.Popen] = {}
 
+    def list_targets(self) -> List[Dict[str, str]]:
+        """Operator-defined server targets (reference run_manager.py:430-452
+        schema: id / grpc_target / http_base); re-read per call so edits to
+        targets.json land without a restart."""
+        if not self.targets_path.exists():
+            return []
+        try:
+            raw = json.loads(self.targets_path.read_text())
+        except (OSError, ValueError):
+            return []
+        targets: List[Dict[str, str]] = []
+        if isinstance(raw, list):
+            for entry in raw:
+                if not isinstance(entry, dict):
+                    continue
+                if not entry.get("id") or not entry.get("grpc_target"):
+                    continue
+                targets.append({
+                    "id": str(entry["id"]),
+                    "grpc_target": str(entry["grpc_target"]),
+                    "http_base": str(entry.get("http_base") or ""),
+                })
+        return targets
+
+    def get_target(self, target_id: str) -> Optional[Dict[str, str]]:
+        for target in self.list_targets():
+            if target["id"] == target_id:
+                return target
+        return None
+
+    def probe_target(self, target: Dict[str, str]) -> Dict[str, Any]:
+        """Liveness probe: TCP dial the gRPC port, fetch /system and
+        /metrics.json from the HTTP plane (reference run_manager.py:460+)."""
+        import socket
+
+        start = time.time()
+        grpc_ok = False
+        host, _, port = target["grpc_target"].rpartition(":")
+        try:
+            with socket.create_connection((host or "127.0.0.1",
+                                           int(port)), timeout=2):
+                grpc_ok = True
+        except (OSError, ValueError):
+            grpc_ok = False
+        system_payload: Optional[Dict[str, Any]] = None
+        metrics_payload: Optional[Dict[str, Any]] = None
+        base = target.get("http_base") or ""
+        if base:
+            for name in ("system", "metrics.json"):
+                try:
+                    with urllib.request.urlopen(
+                        f"{base}/{name}", timeout=2
+                    ) as resp:
+                        payload = json.loads(resp.read())
+                except Exception:
+                    payload = None
+                if name == "system":
+                    system_payload = payload
+                else:
+                    metrics_payload = payload
+        ok = grpc_ok or system_payload is not None or metrics_payload is not None
+        return {
+            "target_id": target["id"],
+            "grpc_ok": grpc_ok,
+            "http_ok": system_payload is not None or metrics_payload is not None,
+            "rtt_ms": int((time.time() - start) * 1000),
+            "last_ok_ts": time.time() if ok else None,
+            "system": system_payload,
+            "metrics": metrics_payload,
+        }
+
     def start_run(self, params: Dict[str, Any]) -> Dict[str, Any]:
         run_id = time.strftime("%Y%m%d_%H%M%S") + "_" + uuid.uuid4().hex[:6]
         run_dir = self.runs_dir / run_id
         run_dir.mkdir(parents=True)
+        grpc_target = params.get("target")
+        if not grpc_target and params.get("target_id"):
+            resolved = self.get_target(str(params["target_id"]))
+            if resolved is None:
+                raise ValueError(f"unknown target_id {params['target_id']!r}")
+            grpc_target = resolved["grpc_target"]
         cmd = [
             sys.executable, str(REPO_ROOT / "tools/bench/grpc_load_test.py"),
-            "--target", str(params.get("target") or self.stt_grpc),
+            "--target", str(grpc_target or self.stt_grpc),
             "--sessions", str(int(params.get("sessions", 4))),
             "--iterations", str(int(params.get("iterations", 1))),
             "--synthetic-sec", str(float(params.get("audio_sec", 5.0))),
@@ -262,6 +349,17 @@ def build_handler(manager: RunManager, stt_http: str):
                     detail["artifacts"] = manager.artifacts(run_id)
                     self._json(detail)
                 return
+            if path == "/api/targets":
+                self._json({"targets": manager.list_targets()})
+                return
+            if path.startswith("/api/targets/") and path.endswith("/status"):
+                target_id = path.split("/")[3]
+                target = manager.get_target(target_id)
+                if target is None:
+                    self._json({"error": "unknown target"}, 404)
+                else:
+                    self._json(manager.probe_target(target))
+                return
             if path == "/api/kpis":
                 self._json(fetch_kpis(stt_http))
                 return
@@ -289,7 +387,10 @@ def build_handler(manager: RunManager, stt_http: str):
                 except ValueError:
                     self._json({"error": "invalid JSON"}, 400)
                     return
-                self._json(manager.start_run(params))
+                try:
+                    self._json(manager.start_run(params))
+                except ValueError as exc:
+                    self._json({"error": str(exc)}, 400)
                 return
             if parsed.path.startswith("/api/runs/") and (
                 parsed.path.endswith("/cancel")
@@ -313,9 +414,16 @@ def main() -> None:
     parser.add_argument("--stt-http", default="http://127.0.0.1:8000")
     parser.add_argument("--stt-grpc", default="127.0.0.1:50051")
     parser.add_argument("--runs-dir", default=str(REPO_ROOT / "runs"))
+    parser.add_argument(
+        "--targets", default=None,
+        help="path to a targets.json (default: alongside this module)",
+    )
     args = parser.parse_args()
 
-    manager = RunManager(Path(args.runs_dir), args.stt_grpc)
+    manager = RunManager(
+        Path(args.runs_dir), args.stt_grpc,
+        targets_path=Path(args.targets) if args.targets else None,
+    )
     server = ThreadingHTTPServer(
         (args.host, args.port), build_handler(manager, args.stt_http)
     )
