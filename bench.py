@@ -104,6 +104,14 @@ def main() -> None:
 
     import jax
 
+    # honor an explicit JAX_PLATFORMS (the image's sitecustomize overrides
+    # the env in jax.config at interpreter start, so a `JAX_PLATFORMS=cpu
+    # python bench.py` smoke run would still dial the TPU tunnel without
+    # this re-pin; same pattern as tests/conftest.py / server main.py)
+    _env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+    if _env_platforms and _env_platforms != jax.config.jax_platforms:
+        jax.config.update("jax_platforms", _env_platforms)
+
     # persistent XLA cache: repeated bench runs skip the HLO->TPU compile
     # (the serve programs take minutes to compile on small hosts)
     cache_dir = os.getenv("STT_XLA_CACHE_DIR", "").strip() or os.path.join(
@@ -132,7 +140,45 @@ def main() -> None:
 
     from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
 
-    devices = jax.devices()
+    # Device discovery through a dead/flaky tunnel hangs forever inside
+    # jax.devices(); bound it so an unreachable device yields a clear
+    # diagnostic exit instead of hanging the whole bench run. Retries
+    # cover a tunnel that is restarting. Tune via STT_BENCH_DEVICE_WAIT
+    # (total seconds, default 1800; 0 disables the bound).
+    deadline = float(os.getenv("STT_BENCH_DEVICE_WAIT", "1800") or 0)
+    devices = None
+    if deadline <= 0:
+        devices = jax.devices()
+    else:
+        import threading
+
+        start_wait = time.monotonic()
+        attempt = 0
+        while devices is None:
+            attempt += 1
+            box: list = []
+            t = threading.Thread(
+                target=lambda: box.append(jax.devices()), daemon=True
+            )
+            t.start()
+            t.join(timeout=min(300.0, deadline))
+            if box:
+                devices = box[0]
+                break
+            waited = time.monotonic() - start_wait
+            if waited >= deadline:
+                log(f"device discovery unreachable after {waited:.0f}s "
+                    f"({attempt} attempts) — TPU tunnel down?")
+                print(json.dumps({
+                    "metric": "rtfx_whisper_small_64streams",
+                    "value": 0.0, "unit": "x_realtime_per_chip",
+                    "vs_baseline": 0.0,
+                    "error": "device discovery timed out",
+                }))
+                sys.exit(3)
+            log(f"device discovery still pending after {waited:.0f}s; "
+                "retrying")
+            # the hung thread stays parked; a fresh join window suffices
     log(f"devices: {devices}")
     log(f"building engine model={args.model} compute={args.compute_type}")
 
