@@ -475,6 +475,100 @@ def _serve_step(
     )
 
 
+_EXEC_SRC_FILES = ("engine/engine.py", "models/whisper.py", "ops/mel.py",
+                   "ops/resample.py", "ops/pallas/mel.py",
+                   "ops/pallas/xattn_decode.py")
+
+
+def exec_fingerprint(dev, config, dtype, use_pallas: bool) -> str:
+    """Content-addressed key for serialized serve executables.
+
+    Embeds jax version, device platform/kind, model config, compute
+    dtype, env-traced storage policies, and the raw bytes of every
+    traced source file — a stale executable can never be loaded after a
+    code, topology, or policy change.
+
+    The platform component is normalized to ``tpu`` whenever the device
+    kind is a TPU: executables for the same chip generation are
+    interchangeable between access paths (direct libtpu, a tunneled
+    PJRT proxy like ``axon``, or a deviceless
+    ``jax.experimental.topologies`` AOT build) — which is what lets a
+    CPU-only build host pre-compile the repo's ``.exec_cache``
+    artifacts that a tunneled serving host then deserializes.
+    """
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    kind = getattr(dev, "device_kind", "")
+    platform = "tpu" if kind.startswith("TPU") else dev.platform
+    h.update(f"{platform}/{kind}".encode())
+    h.update(repr(tuple(sorted(config.__dict__.items())
+                        if hasattr(config, "__dict__")
+                        else config)).encode())
+    h.update(str(dtype).encode())
+    h.update(b"pallas" if use_pallas else b"xla")
+    # env-traced storage policies
+    h.update(W.CROSS_KV_DTYPE.encode())
+    h.update(W.SELF_KV_DTYPE.encode())
+    h.update(AUDIO_WIRE.encode())
+    h.update(W.XATTN_KERNEL.encode())
+    h.update(W.DECODER_WEIGHTS_DTYPE.encode())
+    root = Path(__file__).resolve().parents[1]
+    for rel in _EXEC_SRC_FILES:
+        try:
+            h.update((root / rel).read_bytes())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:20]
+
+
+def write_exec_blob(path, compiled) -> None:
+    """Serialize one AOT-compiled executable to ``path`` in the exec-cache
+    wire format: a 32-byte sha256 integrity header + the pickled
+    ``(payload, in_tree, out_tree)`` from serialize_executable. Parent
+    dirs are created 0700 (the blob is a pickle; no other local user may
+    be able to plant one)."""
+    import hashlib
+    import os
+    import pickle
+
+    from jax.experimental.serialize_executable import serialize
+
+    payload, in_tree, out_tree = serialize(compiled)
+    base = path.parent.parent
+    base.mkdir(parents=True, exist_ok=True, mode=0o700)
+    try:
+        os.chmod(base, 0o700)
+    except OSError:
+        pass
+    path.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
+    body = pickle.dumps((payload, in_tree, out_tree))
+    tmp = str(path) + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(hashlib.sha256(body).digest() + body)
+    os.replace(tmp, path)
+
+
+def read_exec_blob(path, execution_devices):
+    """Deserialize one exec-cache blob, rebinding to ``execution_devices``.
+    Raises on integrity/compat failure (callers decide fallback policy)."""
+    import hashlib
+    import pickle
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    raw = path.read_bytes()
+    digest, body = raw[:32], raw[32:]
+    if hashlib.sha256(body).digest() != digest:
+        raise ValueError("executable cache integrity check failed")
+    payload, in_tree, out_tree = pickle.loads(body)
+    return deserialize_and_load(
+        payload, in_tree, out_tree, execution_devices=execution_devices
+    )
+
+
 class WhisperEngine:
     """Batched Whisper inference on one JAX device (or replica group)."""
 
@@ -805,36 +899,13 @@ class WhisperEngine:
     # model config, dtype, and the traced source files, so stale
     # executables can never be loaded after a code or topology change.
 
-    _EXEC_SRC_FILES = ("engine/engine.py", "models/whisper.py", "ops/mel.py",
-                       "ops/resample.py", "ops/pallas/mel.py",
-                       "ops/pallas/xattn_decode.py")
+    _EXEC_SRC_FILES = _EXEC_SRC_FILES
 
     def _exec_fingerprint(self) -> str:
-        import hashlib
-        from pathlib import Path
-
-        h = hashlib.sha256()
-        h.update(jax.__version__.encode())
         dev = (self._device or jax.devices()[0])
-        h.update(f"{dev.platform}/{getattr(dev, 'device_kind', '')}".encode())
-        h.update(repr(tuple(sorted(self.config.__dict__.items())
-                            if hasattr(self.config, "__dict__")
-                            else self.config)).encode())
-        h.update(str(self._dtype).encode())
-        h.update(b"pallas" if self._use_pallas else b"xla")
-        # env-traced storage policies
-        h.update(W.CROSS_KV_DTYPE.encode())
-        h.update(W.SELF_KV_DTYPE.encode())
-        h.update(AUDIO_WIRE.encode())
-        h.update(W.XATTN_KERNEL.encode())
-        h.update(W.DECODER_WEIGHTS_DTYPE.encode())
-        root = Path(__file__).resolve().parents[1]
-        for rel in self._EXEC_SRC_FILES:
-            try:
-                h.update((root / rel).read_bytes())
-            except OSError:
-                h.update(rel.encode())
-        return h.hexdigest()[:20]
+        return exec_fingerprint(
+            dev, self.config, self._dtype, self._use_pallas
+        )
 
     def _exec_cache_path(self, key: str):
         import os
@@ -949,28 +1020,14 @@ class WhisperEngine:
         authenticate against an attacker who can WRITE the cache dir (0700
         prevents that); it rejects truncated/corrupt blobs and casual
         tampering."""
-        import hashlib
-        import pickle
-
         path = self._exec_cache_path(key)
         if path is None or not path.is_file():
             return None
         try:
-            from jax.experimental.serialize_executable import (
-                deserialize_and_load,
-            )
-
-            raw = path.read_bytes()
-            digest, body = raw[:32], raw[32:]
-            if hashlib.sha256(body).digest() != digest:
-                raise ValueError("executable cache integrity check failed")
-            payload, in_tree, out_tree = pickle.loads(body)
             dev = self._device or jax.devices()[0]
             # rebind to OUR single device: the default binds to every
             # local device, which breaks on multi-device hosts
-            compiled = deserialize_and_load(
-                payload, in_tree, out_tree, execution_devices=[dev]
-            )
+            compiled = read_exec_blob(path, execution_devices=[dev])
             self._serve_exec[key] = compiled
             return compiled
         except Exception:
@@ -982,32 +1039,11 @@ class WhisperEngine:
             return None
 
     def _store_exec(self, key: str, compiled) -> None:
-        import os
-        import pickle
-
         path = self._exec_cache_path(key)
         if path is None:
             return
         try:
-            import hashlib
-
-            from jax.experimental.serialize_executable import serialize
-
-            payload, in_tree, out_tree = serialize(compiled)
-            # private dirs: the blob is a pickle (see _load_exec); no other
-            # local user may be able to plant one
-            base = path.parent.parent
-            base.mkdir(parents=True, exist_ok=True, mode=0o700)
-            try:
-                os.chmod(base, 0o700)
-            except OSError:
-                pass
-            path.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
-            body = pickle.dumps((payload, in_tree, out_tree))
-            tmp = str(path) + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(hashlib.sha256(body).digest() + body)
-            os.replace(tmp, path)
+            write_exec_blob(path, compiled)
         except Exception:
             import logging
 
@@ -1484,15 +1520,31 @@ class WhisperEngine:
             and patience == 1.0 and len_pen == 1.0 and sb and ng == 0
             and p_len == len(W.build_prompt(self.config, "en"))
         )
-        if (canonical and enc_key in self._serve_exec
-                and dec_key in self._serve_exec):
-            # two async dispatches; enc output stays on device
-            enc = self._serve_exec[enc_key](self.params, rows_dev)
-            packed = self._serve_exec[dec_key](
-                self.params, enc, prompt_dev, prompt_len_dev,
-                auto_dev, None,
-            )
-        else:
+        use_exec_table = (canonical and enc_key in self._serve_exec
+                          and dec_key in self._serve_exec)
+        if use_exec_table:
+            try:
+                # two async dispatches; enc output stays on device
+                enc = self._serve_exec[enc_key](self.params, rows_dev)
+                packed = self._serve_exec[dec_key](
+                    self.params, enc, prompt_dev, prompt_len_dev,
+                    auto_dev, None,
+                )
+            except Exception:
+                # a deserialized executable can reject runtime args (e.g.
+                # a sharding/layout mismatch from an artifact built by a
+                # different host); evict it and serve through jit — never
+                # fail requests over a cache entry
+                import logging
+
+                logging.getLogger("stt_tpu").warning(
+                    "exec-table call failed for %s/%s; evicting and "
+                    "falling back to jit", enc_key, dec_key, exc_info=True
+                )
+                self._serve_exec.pop(enc_key, None)
+                self._serve_exec.pop(dec_key, None)
+                use_exec_table = False
+        if not use_exec_table:
             packed = _serve_step(
                 self.params, rows_dev, prompt_dev, prompt_len_dev,
                 auto_dev, rep_dev,

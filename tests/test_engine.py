@@ -433,6 +433,33 @@ def test_prewarm_aot_mode():
     eng.close()
 
 
+def test_exec_fingerprint_normalizes_tpu_platforms():
+    """Executables for the same TPU chip kind are interchangeable between
+    access paths (direct libtpu, the axon tunnel proxy, a deviceless
+    topologies AOT build) — the fingerprint must agree across all three
+    so repo-committed artifacts built on a CPU-only host load on the
+    serving host (tools/aot_build_exec_cache.py)."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from stt_tpu.engine.engine import exec_fingerprint
+    from stt_tpu.models.whisper import get_config
+
+    config = get_config("test")
+    mk = lambda plat, kind: SimpleNamespace(platform=plat, device_kind=kind)
+    via_tunnel = exec_fingerprint(
+        mk("axon", "TPU v5 lite"), config, jnp.bfloat16, True)
+    via_libtpu = exec_fingerprint(
+        mk("tpu", "TPU v5 lite"), config, jnp.bfloat16, True)
+    assert via_tunnel == via_libtpu
+    # different chip generation or a CPU backend must never collide
+    assert exec_fingerprint(
+        mk("tpu", "TPU v4"), config, jnp.bfloat16, True) != via_libtpu
+    assert exec_fingerprint(
+        mk("cpu", "cpu"), config, jnp.bfloat16, True) != via_libtpu
+
+
 def test_exec_disk_cache_roundtrip(tmp_path, monkeypatch):
     """A second engine boot loads serve executables from disk instead of
     recompiling (the warm-reboot path), and transcripts are identical."""

