@@ -213,6 +213,16 @@ def main() -> None:
         partial_bucket = engine._bucket_for(16000)
         log(f"prewarming bucket={bucket}s batch sizes={warm_sizes} "
             f"+ partial bucket={partial_bucket}s")
+        # diagnostic: does the repo-committed artifact dir match this
+        # host's fingerprint? (tools/aot_build_exec_cache.py builds it)
+        fp = engine._exec_fingerprint()
+        exec_dir = os.environ.get("STT_EXEC_CACHE_DIR", repo_exec)
+        have_fps = sorted(
+            p.name for p in __import__("pathlib").Path(exec_dir).glob("*")
+            if p.is_dir()
+        ) if os.path.isdir(exec_dir) else []
+        log(f"exec fingerprint {fp}; committed artifact dirs: "
+            f"{have_fps} ({'HIT' if fp in have_fps else 'MISS'})")
         # AOT mode: compiles land in the exec cache + persistent XLA cache
         # and fill the serving exec table; independent shapes compile on
         # parallel host threads. A cold host with the repo artifact
