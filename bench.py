@@ -157,14 +157,31 @@ def main() -> None:
         while devices is None:
             attempt += 1
             box: list = []
-            t = threading.Thread(
-                target=lambda: box.append(jax.devices()), daemon=True
-            )
+
+            def _probe():
+                try:
+                    box.append(("ok", jax.devices()))
+                except Exception as exc:  # jax caches backend-init failure
+                    box.append(("err", exc))
+
+            t = threading.Thread(target=_probe, daemon=True)
             t.start()
             t.join(timeout=min(300.0, deadline))
             if box:
-                devices = box[0]
-                break
+                status, value = box[0]
+                if status == "ok":
+                    devices = value
+                    break
+                # a raised init error is terminal (jax caches it); exit
+                # with the real diagnostic instead of spinning to timeout
+                log(f"device discovery failed: {value!r}")
+                print(json.dumps({
+                    "metric": "rtfx_whisper_small_64streams",
+                    "value": 0.0, "unit": "x_realtime_per_chip",
+                    "vs_baseline": 0.0,
+                    "error": f"device discovery failed: {value}",
+                }))
+                sys.exit(3)
             waited = time.monotonic() - start_wait
             if waited >= deadline:
                 log(f"device discovery unreachable after {waited:.0f}s "

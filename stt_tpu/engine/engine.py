@@ -480,7 +480,9 @@ _EXEC_SRC_FILES = ("engine/engine.py", "models/whisper.py", "ops/mel.py",
                    "ops/pallas/xattn_decode.py")
 
 
-def exec_fingerprint(dev, config, dtype, use_pallas: bool) -> str:
+def exec_fingerprint(
+    dev, config, dtype, use_pallas: bool, max_decode_tokens: int = 224
+) -> str:
     """Content-addressed key for serialized serve executables.
 
     Embeds jax version, device platform/kind, model config, compute
@@ -509,6 +511,10 @@ def exec_fingerprint(dev, config, dtype, use_pallas: bool) -> str:
                         else config)).encode())
     h.update(str(dtype).encode())
     h.update(b"pallas" if use_pallas else b"xla")
+    # max_decode_tokens changes the compiled decode-loop bound (via
+    # _max_new_for); artifacts built for one cap must never load on a
+    # host configured with another
+    h.update(str(int(max_decode_tokens)).encode())
     # env-traced storage policies
     h.update(W.CROSS_KV_DTYPE.encode())
     h.update(W.SELF_KV_DTYPE.encode())
@@ -522,6 +528,63 @@ def exec_fingerprint(dev, config, dtype, use_pallas: bool) -> str:
         except OSError:
             h.update(rel.encode())
     return h.hexdigest()[:20]
+
+
+def max_new_for(bucket_sec: float, max_decode_tokens: int) -> int:
+    """Decode-loop bound for one audio bucket: ~7.5 tokens/sec of audio
+    at 30 s = 224, rounded up to a multiple of 8."""
+    est = int(np.ceil(bucket_sec * max_decode_tokens / 30.0 / 8.0)) * 8
+    return int(min(max_decode_tokens, max(24, est)))
+
+
+def aot_compile_serve_shape(
+    params, config, dtype, use_pallas: bool,
+    bucket_sec: float, batch_n: int, beam: int, max_decode_tokens: int,
+    *, need_enc: bool = True, need_dec: bool = True, placeholder=None,
+):
+    """Lower+compile the (mel-encode, decode-serve) programs for ONE
+    serve shape with placeholder args that match the runtime call
+    signature exactly (shapes, dtypes, static values) — a mismatch would
+    silently fall back to a serving-time compile, so this construction
+    mirrors ``_device_phase``. Shared by the engine's AOT prewarm and
+    the deviceless artifact builder (tools/aot_build_exec_cache.py),
+    which passes ``placeholder`` to attach topology shardings to each
+    ShapeDtypeStruct. Returns ``(enc_compiled|None, dec_compiled|None)``.
+    """
+    sds = jax.ShapeDtypeStruct
+    ph = placeholder or (lambda x: x)
+    bucket_samples = int(bucket_sec * SAMPLE_RATE)
+    bucket_samples -= bucket_samples % HOP_LENGTH
+    p_len = len(W.build_prompt(config, "en"))
+    max_new = max_new_for(bucket_sec, max_decode_tokens)
+    rows = ph(sds((batch_n, bucket_samples), _wire_dtype()))
+    enc_args = (rows, config.n_audio_head, config.n_mels, dtype, use_pallas)
+    enc_compiled = None
+    if need_enc:
+        enc_compiled = _mel_encode.lower(params, *enc_args).compile()
+    dec_compiled = None
+    if need_dec:
+        prompt = ph(sds((batch_n, p_len), jnp.int32))
+        prompt_len = ph(sds((batch_n,), jnp.int32))
+        auto_mask = ph(sds((batch_n,), jnp.bool_))
+        enc_aval = jax.eval_shape(
+            lambda r: _mel_encode(params, r, *enc_args[1:]), rows
+        )
+        dec_compiled = _decode_serve.lower(
+            params, enc_aval, prompt, prompt_len, auto_mask, None,
+            config,
+            n_head_text=config.n_text_head,
+            max_new_tokens=max_new,
+            beam_size=beam,
+            with_timestamps=False,
+            detect=True,
+            lang_pos=1,
+            patience=1.0,
+            length_penalty=1.0,
+            suppress_blank=True,
+            ngram_n=0,
+        ).compile()
+    return enc_compiled, dec_compiled
 
 
 def write_exec_blob(path, compiled) -> None:
@@ -739,15 +802,16 @@ class WhisperEngine:
         return self.batch_buckets[-1]
 
     def _max_new_for(self, bucket_sec: float) -> int:
-        # ~7.5 tokens/sec of audio at 30 s = 224; round up to a multiple of 8
-        est = int(np.ceil(bucket_sec * self.max_decode_tokens / 30.0 / 8.0)) * 8
-        return int(min(self.max_decode_tokens, max(24, est)))
+        return max_new_for(bucket_sec, self.max_decode_tokens)
 
     # -- public API -----------------------------------------------------------
 
     def start(self) -> None:
         with self._lock:
-            if self._running:
+            # _closing guards against resurrection: a long-pool worker
+            # submitting its next seek-loop window mid-close() must not
+            # spawn fresh engine/harvester threads under the teardown
+            if self._running or self._closing:
                 return
             self._running = True
             self._thread = threading.Thread(
@@ -762,6 +826,8 @@ class WhisperEngine:
             self._harvest_thread.start()
 
     def close(self) -> None:
+        import logging
+
         with self._lock:
             if not self._running:
                 return
@@ -769,7 +835,21 @@ class WhisperEngine:
             self._closing = True
         self._queue.put(None)
         if self._thread:
-            self._thread.join(timeout=30)
+            # The loop exits once its in-flight dispatches clear — it only
+            # blocks on the pipeline semaphore, which the harvester
+            # releases after each readback (a slow temperature-fallback
+            # ladder can hold it well past 30 s). Wait generously but
+            # bounded: enqueueing the harvester sentinel while the engine
+            # thread is still dispatching would strand batches (and their
+            # futures) behind it.
+            deadline = time.monotonic() + 300.0
+            while self._thread.is_alive() and time.monotonic() < deadline:
+                self._thread.join(timeout=5.0)
+            if self._thread.is_alive():
+                logging.getLogger("stt_tpu").warning(
+                    "engine thread still alive after close timeout; "
+                    "batches dispatched from here on may be abandoned"
+                )
             self._thread = None
         # the engine thread has stopped dispatching; drain the harvester
         # behind everything it enqueued
@@ -782,6 +862,17 @@ class WhisperEngine:
             # wait and error out; then the pool can join
             self._long_pool.shutdown(wait=True)
             self._long_pool = None
+        # fail anything still queued — tasks that raced past the sentinel
+        # (submit() vs close()) would otherwise hang their futures forever
+        while True:
+            try:
+                leftover = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if leftover is not None and not leftover.future.done():
+                leftover.future.set_exception(
+                    RuntimeError("engine closed before the request ran")
+                )
         self._closing = False
 
     def submit(
@@ -790,9 +881,19 @@ class WhisperEngine:
         cancel_event: Optional[threading.Event] = None,
     ) -> Future:
         """Queue a request for the batching loop; returns a Future."""
-        self.start()
         task = _Task(request, cancel_event)
-        self._queue.put(task)
+        self.start()  # no-op while running or closing
+        # enqueue under the same lock close() uses to flip _closing: either
+        # this task lands ahead of close()'s sentinel (and is processed),
+        # or we observe _closing and reject — nothing can strand behind the
+        # sentinel (close()'s queue drain is belt-and-suspenders)
+        with self._lock:
+            if self._closing:
+                task.future.set_exception(
+                    RuntimeError("engine is shutting down")
+                )
+                return task.future
+            self._queue.put(task)
         return task.future
 
     def transcribe_sync(self, request: DecodeRequest) -> DecodeOutput:
@@ -899,12 +1000,11 @@ class WhisperEngine:
     # model config, dtype, and the traced source files, so stale
     # executables can never be loaded after a code or topology change.
 
-    _EXEC_SRC_FILES = _EXEC_SRC_FILES
-
     def _exec_fingerprint(self) -> str:
         dev = (self._device or jax.devices()[0])
         return exec_fingerprint(
-            dev, self.config, self._dtype, self._use_pallas
+            dev, self.config, self._dtype, self._use_pallas,
+            self.max_decode_tokens,
         )
 
     def _exec_cache_path(self, key: str):
@@ -970,45 +1070,17 @@ class WhisperEngine:
         need_dec = not have(dec_key)
         if use_exec and not need_enc and not need_dec:
             return
-        sds = jax.ShapeDtypeStruct
-        bucket_samples = int(bucket_sec * SAMPLE_RATE)
-        bucket_samples -= bucket_samples % HOP_LENGTH
-        p_len = len(W.build_prompt(self.config, "en"))
-        max_new = self._max_new_for(bucket_sec)
-        rows = sds((batch_n, bucket_samples), _wire_dtype())
-        prompt = sds((batch_n, p_len), jnp.int32)
-        prompt_len = sds((batch_n,), jnp.int32)
-        auto_mask = sds((batch_n,), jnp.bool_)
-        enc_args = (rows, self.config.n_audio_head, self.config.n_mels,
-                    self._dtype, self._use_pallas)
-        enc_aval = jax.eval_shape(
-            lambda r: _mel_encode(self.params, r, *enc_args[1:]), rows
+        enc_compiled, dec_compiled = aot_compile_serve_shape(
+            self.params, self.config, self._dtype, self._use_pallas,
+            bucket_sec, batch_n, beam, self.max_decode_tokens,
+            need_enc=need_enc, need_dec=need_dec,
         )
-        if need_enc:
-            enc_compiled = _mel_encode.lower(
-                self.params, *enc_args
-            ).compile()
-            if use_exec:
-                self._serve_exec[enc_key] = enc_compiled
-                self._store_exec(enc_key, enc_compiled)
-        if need_dec:
-            dec_compiled = _decode_serve.lower(
-                self.params, enc_aval, prompt, prompt_len, auto_mask, None,
-                self.config,
-                n_head_text=self.config.n_text_head,
-                max_new_tokens=max_new,
-                beam_size=beam,
-                with_timestamps=False,
-                detect=True,
-                lang_pos=1,
-                patience=1.0,
-                length_penalty=1.0,
-                suppress_blank=True,
-                ngram_n=0,
-            ).compile()
-            if use_exec:
-                self._serve_exec[dec_key] = dec_compiled
-                self._store_exec(dec_key, dec_compiled)
+        if enc_compiled is not None and use_exec:
+            self._serve_exec[enc_key] = enc_compiled
+            self._store_exec(enc_key, enc_compiled)
+        if dec_compiled is not None and use_exec:
+            self._serve_exec[dec_key] = dec_compiled
+            self._store_exec(dec_key, dec_compiled)
 
     def _load_exec(self, key: str):
         """Deserialize one stored executable; None on any miss/failure.

@@ -811,6 +811,49 @@ def test_long_final_conditions_next_window():
     eng.close()
 
 
+def test_submit_rejected_while_closing_does_not_resurrect():
+    """submit() mid-close() must reject (failed future) rather than spawn
+    fresh engine/harvester threads under the teardown — the long-pool
+    seek loop submits windows through the same path."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    eng._closing = True
+    fut = eng.submit(_req(seed=7))
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)
+    assert not eng._running
+    assert eng._thread is None
+    eng.start()  # also a no-op while closing
+    assert eng._thread is None
+    eng._closing = False
+
+
+def test_close_during_long_final_resolves_future():
+    """close() while a long final's seek loop is mid-flight must leave the
+    engine fully stopped with the future resolved (result or shutdown
+    error) — never hung, never with resurrected threads."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16, batch_window_ms=0.0)
+    rng = np.random.default_rng(45)
+    long_audio = (0.1 * rng.standard_normal(4 * 16000)).astype(np.float32)
+    fut = eng.submit(DecodeRequest(
+        audio=long_audio, language="en", is_final=True, session_id="L",
+    ))
+    time.sleep(0.3)  # let the seek loop start
+    eng.close()
+    assert fut.done(), "long-final future left hanging by close()"
+    try:
+        out = fut.result(timeout=1)
+        assert out.batch_rows == 1
+    except RuntimeError:
+        pass  # rejected mid-loop by the shutdown: acceptable outcome
+    assert not eng._running
+    assert eng._thread is None and eng._harvest_thread is None
+    assert eng._long_pool is None
+
+
 def test_long_final_does_not_block_partials():
     """VERDICT r2 weak #4 / ADVICE medium: a long final's seek loop must
     NOT head-of-line block other sessions — its windows feed back through

@@ -66,6 +66,9 @@ def main() -> int:
         Path(__file__).resolve().parents[1] / ".exec_cache"))
     parser.add_argument("--no-pallas", action="store_true",
                         help="build for a use_pallas=False engine")
+    parser.add_argument("--max-decode-tokens", type=int, default=224,
+                        help="engine max_decode_tokens the artifacts are "
+                             "built for (part of the cache fingerprint)")
     args = parser.parse_args()
 
     import jax
@@ -96,7 +99,9 @@ def main() -> int:
         f"kind={dev.device_kind!r} devices={len(topo.devices)}")
 
     config = W.get_config(args.model)
-    fp = E.exec_fingerprint(dev, config, dtype, use_pallas)
+    fp = E.exec_fingerprint(
+        dev, config, dtype, use_pallas, args.max_decode_tokens
+    )
     out_dir = Path(args.out) / fp
     log(f"fingerprint {fp} -> {out_dir}")
 
@@ -118,65 +123,22 @@ def main() -> int:
         )
     params = jax.tree.map(with_sharding, params_shape)
 
-    sds = jax.ShapeDtypeStruct
-    wire = E._wire_dtype()
-    p_len = len(W.build_prompt(config, "en"))
-    max_tokens = 224  # engine default max_decode_tokens
-
-    def max_new_for(bucket_sec: float) -> int:
-        est = int(np.ceil(bucket_sec * max_tokens / 30.0 / 8.0)) * 8
-        return int(min(max_tokens, max(24, est)))
-
     built = []
     for bucket_sec, batch_n, beam in parse_shapes(args.shapes):
-        bucket_samples = int(bucket_sec * E.SAMPLE_RATE)
-        bucket_samples -= bucket_samples % E.HOP_LENGTH
-        rows = sds((batch_n, bucket_samples), wire, sharding=repl)
-        prompt = sds((batch_n, p_len), jnp.int32, sharding=repl)
-        prompt_len = sds((batch_n,), jnp.int32, sharding=repl)
-        auto_mask = sds((batch_n,), jnp.bool_, sharding=repl)
-        max_new = max_new_for(bucket_sec)
-
-        # mirrors WhisperEngine._aot_compile_serve exactly — a mismatch
-        # in shapes/statics would make the runtime silently miss the
-        # cache and recompile
+        # the placeholder construction and statics are the engine's own
+        # (aot_compile_serve_shape) — builder and runtime cannot drift
         enc_key = E.WhisperEngine._enc_exec_key(bucket_sec, batch_n)
-        t1 = time.monotonic()
-        enc_lowered = E._mel_encode.lower(
-            params, rows, config.n_audio_head, config.n_mels, dtype,
-            use_pallas,
-        )
-        enc_compiled = enc_lowered.compile()
-        E.write_exec_blob(out_dir / f"{enc_key}.jexec", enc_compiled)
-        log(f"built {enc_key} in {time.monotonic() - t1:.1f}s")
-        built.append(enc_key)
-
-        enc_aval = jax.eval_shape(
-            lambda r: E._mel_encode(
-                params, r, config.n_audio_head, config.n_mels, dtype,
-                use_pallas,
-            ),
-            rows,
-        )
         dec_key = E.WhisperEngine._serve_exec_key(bucket_sec, batch_n, beam)
         t1 = time.monotonic()
-        dec_compiled = E._decode_serve.lower(
-            params, enc_aval, prompt, prompt_len, auto_mask, None,
-            config,
-            n_head_text=config.n_text_head,
-            max_new_tokens=max_new,
-            beam_size=beam,
-            with_timestamps=False,
-            detect=True,
-            lang_pos=1,
-            patience=1.0,
-            length_penalty=1.0,
-            suppress_blank=True,
-            ngram_n=0,
-        ).compile()
+        enc_compiled, dec_compiled = E.aot_compile_serve_shape(
+            params, config, dtype, use_pallas,
+            bucket_sec, batch_n, beam, args.max_decode_tokens,
+            placeholder=with_sharding,
+        )
+        E.write_exec_blob(out_dir / f"{enc_key}.jexec", enc_compiled)
         E.write_exec_blob(out_dir / f"{dec_key}.jexec", dec_compiled)
-        log(f"built {dec_key} in {time.monotonic() - t1:.1f}s")
-        built.append(dec_key)
+        log(f"built {enc_key} + {dec_key} in {time.monotonic() - t1:.1f}s")
+        built.extend((enc_key, dec_key))
 
     sizes = {k: (out_dir / f"{k}.jexec").stat().st_size for k in built}
     print(json.dumps({

@@ -80,8 +80,12 @@ def main():
     from stt_tpu.ops.mel import HOP_LENGTH, SAMPLE_RATE
     bucket_samples = int(bucket * SAMPLE_RATE)
     bucket_samples -= bucket_samples % HOP_LENGTH
-    rows = np.zeros((64, bucket_samples), np.int16)
-    rows[:, :n] = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+    pcm = np.zeros((64, bucket_samples), np.int16)
+    pcm[:, :n] = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+    # the exec-table programs are compiled for the configured wire format
+    # (mu-law uint8 by default) — stage rows exactly as the engine does
+    from stt_tpu.engine.engine import _encode_wire_rows
+    rows = _encode_wire_rows(pcm)
     p = W.build_prompt(engine.config, "en")
     p_len = len(p)
     prompt = jnp.asarray(np.tile(np.asarray(p, np.int32), (64, 1)))
@@ -132,6 +136,7 @@ def main():
         for i in range(64):
             out[i, :n] = np.clip(audio * 32768.0, -32768, 32767
                                  ).astype(np.int16)
+        _encode_wire_rows(out)
         prep.append(time.perf_counter() - t0)
     log(f"host prep: {[f'{x:.3f}' for x in prep]}")
 

@@ -90,6 +90,9 @@ class RunManager:
         start = time.time()
         grpc_ok = False
         host, _, port = target["grpc_target"].rpartition(":")
+        # gRPC targets write IPv6 hosts in URL bracket syntax ("[::1]");
+        # socket wants the bare address
+        host = host.strip("[]")
         try:
             with socket.create_connection((host or "127.0.0.1",
                                            int(port)), timeout=2):
