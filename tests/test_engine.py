@@ -460,6 +460,46 @@ def test_exec_fingerprint_normalizes_tpu_platforms():
         mk("cpu", "cpu"), config, jnp.bfloat16, True) != via_libtpu
 
 
+def test_committed_exec_artifacts_match_current_fingerprint():
+    """The repo-committed ``.exec_cache`` artifacts must live under the
+    fingerprint a v5e serving host computes from the CURRENT source tree
+    and default policies — the fingerprint hashes the traced source
+    files, so any edit to them strands the committed blobs (a cold
+    driver/bench host silently pays the full multi-minute compile).
+    When this fails, rebuild:  JAX_PLATFORMS=cpu python
+    tools/aot_build_exec_cache.py  and commit the new directory."""
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from stt_tpu.engine.engine import exec_fingerprint
+    from stt_tpu.models import whisper as W
+    from stt_tpu.models.whisper import get_config
+
+    repo = Path(__file__).resolve().parents[1]
+    committed = {p.name for p in (repo / ".exec_cache").iterdir()
+                 if p.is_dir()}
+    if not committed:
+        pytest.skip("no committed exec-cache artifacts")
+    defaults = dict(CROSS_KV_DTYPE="fp8", SELF_KV_DTYPE="bf16",
+                    XATTN_KERNEL="off", DECODER_WEIGHTS_DTYPE="bf16")
+    overridden = {k: getattr(W, k) for k, v in defaults.items()
+                  if getattr(W, k) != v}
+    from stt_tpu.engine import engine as E
+    if E.AUDIO_WIRE != "mulaw":
+        overridden["AUDIO_WIRE"] = E.AUDIO_WIRE
+    if overridden:
+        pytest.skip(f"non-default storage policies active: {overridden}")
+    dev = SimpleNamespace(platform="tpu", device_kind="TPU v5 lite")
+    fp = exec_fingerprint(dev, get_config("small"), jnp.bfloat16, True, 224)
+    assert fp in committed, (
+        f"committed exec-cache dirs {sorted(committed)} do not include the "
+        f"current-source fingerprint {fp}; traced sources changed after the "
+        f"artifacts were built — rerun tools/aot_build_exec_cache.py"
+    )
+
+
 def test_exec_disk_cache_roundtrip(tmp_path, monkeypatch):
     """A second engine boot loads serve executables from disk instead of
     recompiling (the warm-reboot path), and transcripts are identical."""
