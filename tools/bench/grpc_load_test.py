@@ -49,13 +49,21 @@ def load_wav(path: str) -> Tuple[bytes, int]:
 
 
 def synthetic_audio(seconds: float, sample_rate: int = 16000) -> Tuple[bytes, int]:
-    """Tone bursts with trailing silence — enough to trip the VAD."""
+    """Tone bursts with a mid-stream silence gap.
+
+    The gap trips the VAD (exercising the utterance-commit path) while
+    the stream still ENDS with speech: a trailing-silence tail would be
+    endpointed away, leaving the end-of-stream final to decode pure
+    silence — zero segments, so no ``is_final`` response ever reaches
+    the client (reference-parity wire behavior) and the final-latency
+    metric records nothing."""
     rng = np.random.default_rng(0)
     t = np.arange(int(sample_rate * seconds)) / sample_rate
     sig = 0.25 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.normal(0, 1, t.shape)
-    tail = int(sample_rate * min(1.0, seconds * 0.2))
-    if tail:
-        sig[-tail:] = 0.0
+    gap = int(sample_rate * min(1.0, seconds * 0.2))
+    if gap:
+        mid = int(len(sig) * 0.55)
+        sig[mid:mid + gap] = 0.0
     return (sig * 32767).astype(np.int16).tobytes(), sample_rate
 
 
@@ -79,6 +87,10 @@ class SessionRecord:
     create_latency_sec: float = 0.0
     first_partial_sec: Optional[float] = None
     final_latency_sec: Optional[float] = None
+    # latency of the LAST response regardless of its is_final flag —
+    # robust when real audio ends in silence (endpointed away, so the
+    # stream closes without an is_final response, matching the reference)
+    last_result_latency_sec: Optional[float] = None
     audio_sec: float = 0.0
     wall_sec: float = 0.0
     rtf: float = 0.0
@@ -90,6 +102,7 @@ class SessionRecord:
     COLUMNS = (
         "session_id", "worker", "iteration", "ok", "error",
         "create_latency_sec", "first_partial_sec", "final_latency_sec",
+        "last_result_latency_sec",
         "audio_sec", "wall_sec", "rtf", "results", "finals", "transcript",
     )
 
@@ -108,6 +121,10 @@ class SessionRecord:
             "final_latency_sec": (
                 round(self.final_latency_sec, 6)
                 if self.final_latency_sec is not None else None
+            ),
+            "last_result_latency_sec": (
+                round(self.last_result_latency_sec, 6)
+                if self.last_result_latency_sec is not None else None
             ),
             "audio_sec": round(self.audio_sec, 3),
             "wall_sec": round(self.wall_sec, 6),
@@ -250,6 +267,7 @@ def run_session(
             record.results += 1
             if not result.is_final and record.first_partial_sec is None:
                 record.first_partial_sec = now - stream_start
+            record.last_result_latency_sec = now - last_chunk_at[0]
             if result.is_final:
                 record.finals += 1
                 record.final_latency_sec = now - last_chunk_at[0]
@@ -282,6 +300,8 @@ def summarize(records: List[SessionRecord], wall_sec: float) -> Dict[str, Any]:
     creates = [r.create_latency_sec for r in ok]
     firsts = [r.first_partial_sec for r in ok if r.first_partial_sec is not None]
     finals = [r.final_latency_sec for r in ok if r.final_latency_sec is not None]
+    lasts = [r.last_result_latency_sec for r in ok
+             if r.last_result_latency_sec is not None]
     rtfs = [r.rtf for r in ok if r.rtf > 0]
     total_audio = sum(r.audio_sec for r in ok)
 
@@ -315,6 +335,7 @@ def summarize(records: List[SessionRecord], wall_sec: float) -> Dict[str, Any]:
         "create_latency_sec": stats(creates),
         "first_partial_sec": stats(firsts),
         "final_latency_sec": stats(finals),
+        "last_result_latency_sec": stats(lasts),
         "rtf": stats(rtfs),
         "responses_per_session": stats(responses),
         "total_audio_sec": round(total_audio, 2),
