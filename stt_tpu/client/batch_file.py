@@ -14,6 +14,7 @@ import argparse
 import sys
 import time
 import uuid
+from pathlib import Path
 from typing import Iterator, Optional
 
 import grpc
@@ -150,7 +151,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(
         description="Upload an audio file for batch transcription"
     )
-    parser.add_argument("path")
+    parser.add_argument(
+        "path", nargs="?",
+        default=str(Path(__file__).parent / "assets" / "hello.wav"),
+        help="Audio file; defaults to the bundled synthesized demo clip",
+    )
     parser.add_argument("--target", default="localhost:50051")
     parser.add_argument("--chunk-ms", type=int, default=500)
     parser.add_argument("--session-id", default=None)

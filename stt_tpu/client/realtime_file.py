@@ -35,6 +35,10 @@ from .common import (
 from .sdk import RetryConfig, StreamingClient, parse_error_code
 
 DEFAULT_CONFIG = Path(__file__).parent / "config" / "file.yaml"
+# bundled demo clip (parity with the reference's stt_client/assets/hello.wav,
+# ref realtime/file.py:21-22) — ours is the formant-synthesized fixture
+_DEFAULT_AUDIO = Path(__file__).parent / "assets" / "hello.wav"
+_DEFAULT_AUDIO_DISPLAY = "stt_tpu/client/assets/hello.wav"
 
 
 def _load_yaml(path: Optional[str]) -> Dict[str, Any]:
@@ -166,7 +170,13 @@ def main() -> None:
         description="Stream an audio file to the STT server in real time",
         parents=[pre],
     )
-    parser.add_argument("path", help="Audio file (WAV; FLAC/OGG with soundfile)")
+    parser.add_argument(
+        "path", nargs="?",
+        default=defaults.get("audio_path") or str(_DEFAULT_AUDIO),
+        help="Audio file (WAV; FLAC/OGG with soundfile); defaults to the "
+             "bundled synthesized demo clip "
+             f"({_DEFAULT_AUDIO_DISPLAY})",
+    )
     parser.add_argument("--target", default=defaults.get("target", "localhost:50051"))
     parser.add_argument("--chunk-ms", type=int, default=defaults.get("chunk_ms", 100))
     parser.add_argument("--no-realtime", dest="realtime", action="store_false",
