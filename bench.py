@@ -127,16 +127,31 @@ def main() -> None:
         except Exception:
             pass
 
-    # repo-committed serialized-executable artifact: a cold host (fresh
+    # repo-committed serialized-executable artifacts: a cold host (fresh
     # pod, the driver environment) deserializes the bench-shape serve
     # programs in seconds instead of paying the multi-minute XLA compile.
     # Keyed by (jax version, device kind, model config, dtype, traced
-    # sources) — any mismatch silently falls back to compiling.
+    # sources) — any mismatch silently falls back to compiling. The
+    # artifacts are STAGED into a scratch cache dir rather than used in
+    # place: prewarm also compiles shapes beyond the committed set, and
+    # those blobs must land outside the git-tracked directory.
     repo_exec = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".exec_cache"
     )
     if not os.getenv("STT_EXEC_CACHE_DIR", "").strip():
-        os.environ["STT_EXEC_CACHE_DIR"] = repo_exec
+        import shutil
+
+        scratch = os.path.join(
+            os.path.expanduser("~"), ".cache", "stt_tpu_exec_bench"
+        )
+        if os.path.isdir(repo_exec):
+            for fp in os.listdir(repo_exec):
+                src = os.path.join(repo_exec, fp)
+                dst = os.path.join(scratch, fp)
+                if os.path.isdir(src) and not os.path.isdir(dst):
+                    shutil.copytree(src, dst)
+        os.makedirs(scratch, exist_ok=True)
+        os.environ["STT_EXEC_CACHE_DIR"] = scratch
 
     from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
 
@@ -278,25 +293,27 @@ def main() -> None:
 
         n_waves = args.rounds + 1  # +1: the fill round is excluded
         done_at = []
-        gen_tokens = 0
+        wave_tokens = []  # per-wave, so a degenerate wave shows in the log
         t0 = time.perf_counter()
         prev = submit_wave()
         for _ in range(n_waves - 1):
             nxt = submit_wave()  # keep 2 waves in flight
             futures.wait(prev)
             done_at.append(time.perf_counter() - t0)
-            gen_tokens = sum(f.result()._n_gen for f in prev)
+            wave_tokens.append(sum(f.result()._n_gen for f in prev))
             prev = nxt
         futures.wait(prev)
         done_at.append(time.perf_counter() - t0)
-        gen_tokens = sum(f.result()._n_gen for f in prev)
+        wave_tokens.append(sum(f.result()._n_gen for f in prev))
+        gen_tokens = wave_tokens[-1]
 
         walls = [done_at[0]] + [
             done_at[i] - done_at[i - 1] for i in range(1, len(done_at))
         ]
         log(f"round 0 (pipeline fill, excluded): wall={walls[0]:.2f}s")
         for i, wall in enumerate(walls[1:]):
-            log(f"round {i + 1}: wall={wall:.2f}s gen_tokens={gen_tokens}")
+            log(f"round {i + 1}: wall={wall:.2f}s "
+                f"gen_tokens={wave_tokens[i + 1]}")
         walls = sorted(walls[1:])
         # the HEADLINE is the MEDIAN round (VERDICT r2 weak #1: round-to-
         # round variance through the device tunnel reached 2x; best-of

@@ -711,6 +711,14 @@ class WhisperEngine:
             self.params = shard_params(params, self._mesh)
         else:
             if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
+                if self._dtype != jnp.bfloat16:
+                    # quantize_decoder_weights no-ops for non-bf16 compute;
+                    # say so instead of silently serving unquantized weights
+                    LOGGER.warning(
+                        "STT_DECODER_WEIGHTS_DTYPE=%s requires bfloat16 "
+                        "compute; ignored (compute_type=%s)",
+                        W.DECODER_WEIGHTS_DTYPE, self._dtype.__name__,
+                    )
                 params["decoder"] = W.quantize_decoder_weights(
                     params["decoder"], self._dtype
                 )
@@ -882,19 +890,25 @@ class WhisperEngine:
     ) -> Future:
         """Queue a request for the batching loop; returns a Future."""
         task = _Task(request, cancel_event)
-        self.start()  # no-op while running or closing
         # enqueue under the same lock close() uses to flip _closing: either
         # this task lands ahead of close()'s sentinel (and is processed),
-        # or we observe _closing and reject — nothing can strand behind the
-        # sentinel (close()'s queue drain is belt-and-suspenders)
-        with self._lock:
-            if self._closing:
-                task.future.set_exception(
-                    RuntimeError("engine is shutting down")
-                )
-                return task.future
-            self._queue.put(task)
-        return task.future
+        # or we observe _closing and reject. A close() can also COMPLETE
+        # between start() and the lock (_closing back to False, no threads)
+        # — re-checking _running under the lock and looping to restart
+        # covers that window, so a task can never land on a thread-less
+        # queue with a forever-pending future.
+        while True:
+            self.start()  # no-op while running or closing
+            with self._lock:
+                if self._closing:
+                    task.future.set_exception(
+                        RuntimeError("engine is shutting down")
+                    )
+                    return task.future
+                if self._running:
+                    self._queue.put(task)
+                    return task.future
+            # close() finished between start() and the lock; retry
 
     def transcribe_sync(self, request: DecodeRequest) -> DecodeOutput:
         """Run one request immediately on the calling thread (no batching)."""
@@ -1266,7 +1280,7 @@ class WhisperEngine:
                 return
             sub, ctx = item
             try:
-                outputs = self._harvest(ctx)
+                outputs = self._harvest_checked(ctx)
             except Exception as exc:
                 for task in sub:
                     if not task.future.done():
@@ -1474,6 +1488,19 @@ class WhisperEngine:
                     raise RuntimeError(
                         "engine closed during a long-audio decode"
                     )
+                # a dead engine thread (uncaught exception in _loop, or a
+                # close() race) can never serve this window — without this
+                # check the seek loop and the client's long-final future
+                # would poll forever
+                thread = self._thread
+                if thread is None or not thread.is_alive():
+                    if fut.done():
+                        continue  # resolved in the teardown drain
+                    fut.cancel()
+                    raise RuntimeError(
+                        "engine thread is not running during a "
+                        "long-audio decode"
+                    )
 
     def _run_group(
         self, group: List[_Task], already_running: bool = False
@@ -1487,7 +1514,29 @@ class WhisperEngine:
     def _run_group_inner(
         self, group: List[_Task], already_running: bool = False
     ) -> List[DecodeOutput]:
-        return self._harvest(self._device_phase(group))
+        return self._harvest_checked(self._device_phase(group))
+
+    def _harvest_checked(self, ctx: Dict[str, Any]) -> List[DecodeOutput]:
+        """_harvest with exec-table hygiene: jax dispatch is async, so a
+        bad deserialized executable often fails at the READBACK, not the
+        dispatch call (whose except only catches argument rejection) —
+        evict the batch's exec entries on failure so one poisoned
+        artifact can't fail every following batch, then re-raise."""
+        try:
+            return self._harvest(ctx)
+        except Exception:
+            exec_keys = ctx.get("exec_keys")
+            if exec_keys:
+                import logging
+
+                logging.getLogger("stt_tpu").warning(
+                    "harvest failed for exec-table batch %s; evicting and "
+                    "serving future batches through jit",
+                    exec_keys, exc_info=True,
+                )
+                for key in exec_keys:
+                    self._serve_exec.pop(key, None)
+            raise
 
     def _device_phase(self, group: List[_Task]) -> Dict[str, Any]:
         """Host prep + every device dispatch for one sub-batch; returns a
@@ -1650,6 +1699,11 @@ class WhisperEngine:
             "with_ts": with_ts, "bucket_sec": bucket_sec,
             "max_new": max_new, "batch_n": batch_n, "n": n,
             "t_start": t_start,
+            # which exec-table entries produced `packed` — jax dispatch is
+            # async, so a bad deserialized executable often fails at the
+            # READBACK (harvester), not the call above; the harvester
+            # evicts these so the next batch recompiles through jit
+            "exec_keys": (enc_key, dec_key) if use_exec_table else None,
         }
 
     def _harvest(self, ctx: Dict[str, Any]) -> List[DecodeOutput]:

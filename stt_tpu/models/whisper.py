@@ -382,11 +382,13 @@ def _flash_applicable(t: int) -> bool:
 # measured with tools/ab_xattn_kernel.py at the serving shape
 # L12 B64 H12 Ta500 Dh64 fp8; einsum baseline 2.19 ms/step = 33% of
 # the 0.72 ms HBM floor):
-#   "vpu"/"auto" — elementwise multiply+reduce over row-grouped
-#     blocks: 27.0 ms/step (12x SLOWER) — Dh=64 underfills the 128
-#     lanes and both reductions cross lanes; kept for A/B history.
+#   "vpu" — elementwise multiply+reduce over row-grouped blocks:
+#     27.0 ms/step (12x SLOWER) — Dh=64 underfills the 128 lanes and
+#     both reductions cross lanes; kept for A/B history.
 #   "mxu" — per-head M=1 dots, grid over rows: 22.4 ms/step — Mosaic
 #     emits ~1.5k tiny MXU ops per layer; kept for A/B history.
+#   "mm" (also what any other non-off value, e.g. "auto", selects) —
+#     merged-head matmul + diagonal mask; the least-bad variant.
 # See tests/test_xattn_decode.py for parity.
 XATTN_KERNEL = os.getenv("STT_XATTN_KERNEL", "off").strip().lower()
 

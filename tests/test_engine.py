@@ -500,6 +500,54 @@ def test_committed_exec_artifacts_match_current_fingerprint():
     )
 
 
+def test_submit_after_close_restarts_engine():
+    """submit() after a completed close() must restart the engine and
+    serve the request — a task must never land on a thread-less queue
+    with a forever-pending future (the close()-completed-between-
+    start()-and-enqueue race)."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    out1 = eng.transcribe_sync(_req(seed=11))
+    eng.close()
+    assert not eng._running and eng._thread is None
+    out2 = eng.transcribe_sync(_req(seed=11))  # must not hang
+    assert [s.text for s in out2.segments] == [s.text for s in out1.segments]
+    eng.close()
+
+
+def test_harvest_failure_evicts_exec_entries(tmp_path, monkeypatch):
+    """A deserialized executable that fails at READBACK (async dispatch
+    defers device errors to the harvester) must be evicted so one bad
+    artifact cannot poison every following batch."""
+    monkeypatch.setenv("STT_EXEC_CACHE_DIR", str(tmp_path))
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    eng.prewarm(batch_sizes=[1], mode="aot")
+    assert eng._serve_exec
+    keys_before = set(eng._serve_exec)
+
+    orig_harvest = eng._harvest
+    calls = {"n": 0}
+
+    def failing_harvest(ctx):
+        calls["n"] += 1
+        if calls["n"] == 1 and ctx.get("exec_keys"):
+            raise RuntimeError("simulated device failure at readback")
+        return orig_harvest(ctx)
+
+    monkeypatch.setattr(eng, "_harvest", failing_harvest)
+    with pytest.raises(RuntimeError, match="simulated device failure"):
+        eng.transcribe_sync(_req(seed=12))
+    evicted = keys_before - set(eng._serve_exec)
+    assert evicted, "failed exec-table batch did not evict its executables"
+    # the next request must succeed through jit (no poisoned entries)
+    out = eng.transcribe_sync(_req(seed=12))
+    assert out.batch_rows == 1
+    eng.close()
+
+
 def test_exec_disk_cache_roundtrip(tmp_path, monkeypatch):
     """A second engine boot loads serve executables from disk instead of
     recompiling (the warm-reboot path), and transcripts are identical."""

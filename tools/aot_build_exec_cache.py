@@ -118,8 +118,10 @@ def main() -> int:
     )
     if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
         params_shape = dict(params_shape)
+        # dtype is a static argument, not an abstract array — close over it
         params_shape["decoder"] = jax.eval_shape(
-            W.quantize_decoder_weights, params_shape["decoder"], dtype
+            lambda d: W.quantize_decoder_weights(d, dtype),
+            params_shape["decoder"],
         )
     params = jax.tree.map(with_sharding, params_shape)
 
