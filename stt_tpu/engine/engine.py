@@ -515,12 +515,15 @@ def exec_fingerprint(
     # _max_new_for); artifacts built for one cap must never load on a
     # host configured with another
     h.update(str(int(max_decode_tokens)).encode())
-    # env-traced storage policies
+    # env-traced storage/kernel policies — EVERY env that branches inside
+    # a traced program must be here, or artifacts built under one policy
+    # would load on a host configured with another
     h.update(W.CROSS_KV_DTYPE.encode())
     h.update(W.SELF_KV_DTYPE.encode())
     h.update(AUDIO_WIRE.encode())
     h.update(W.XATTN_KERNEL.encode())
     h.update(W.DECODER_WEIGHTS_DTYPE.encode())
+    h.update(W.FLASH_ATTENTION.encode())
     root = Path(__file__).resolve().parents[1]
     for rel in _EXEC_SRC_FILES:
         try:
@@ -750,6 +753,9 @@ class WhisperEngine:
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._closing = False
+        # how long close() waits for in-flight dispatches to clear before
+        # declaring the engine thread a zombie (tests shrink this)
+        self._close_join_timeout = 300.0
         self._lock = threading.Lock()
         # long finals run their sequential seek loop on side threads,
         # submitting each window back through the queue as an ordinary
@@ -842,6 +848,7 @@ class WhisperEngine:
             self._running = False
             self._closing = True
         self._queue.put(None)
+        zombie = False
         if self._thread:
             # The loop exits once its in-flight dispatches clear — it only
             # blocks on the pipeline semaphore, which the harvester
@@ -850,10 +857,13 @@ class WhisperEngine:
             # bounded: enqueueing the harvester sentinel while the engine
             # thread is still dispatching would strand batches (and their
             # futures) behind it.
-            deadline = time.monotonic() + 300.0
+            deadline = time.monotonic() + self._close_join_timeout
             while self._thread.is_alive() and time.monotonic() < deadline:
-                self._thread.join(timeout=5.0)
+                self._thread.join(
+                    timeout=min(5.0, self._close_join_timeout)
+                )
             if self._thread.is_alive():
+                zombie = True
                 logging.getLogger("stt_tpu").warning(
                     "engine thread still alive after close timeout; "
                     "batches dispatched from here on may be abandoned"
@@ -881,7 +891,17 @@ class WhisperEngine:
                 leftover.future.set_exception(
                     RuntimeError("engine closed before the request ran")
                 )
-        self._closing = False
+        # a wedged engine thread (hung device call) that outlived the join
+        # still shares this queue and semaphore: restarting would race two
+        # _loop generations on them. Leave _closing latched so submit()
+        # rejects and start() refuses until the process is replaced.
+        if zombie:
+            logging.getLogger("stt_tpu").error(
+                "engine left in closed state permanently: the old engine "
+                "thread never exited; restart the process to serve again"
+            )
+        else:
+            self._closing = False
 
     def submit(
         self,
@@ -1536,6 +1556,15 @@ class WhisperEngine:
                 )
                 for key in exec_keys:
                     self._serve_exec.pop(key, None)
+                    # also drop the on-disk blob: a persistently bad
+                    # artifact would otherwise be reloaded on every boot
+                    # and sacrifice one batch per shape per restart
+                    path = self._exec_cache_path(key)
+                    if path is not None:
+                        try:
+                            path.unlink(missing_ok=True)
+                        except OSError:
+                            pass
             raise
 
     def _device_phase(self, group: List[_Task]) -> Dict[str, Any]:

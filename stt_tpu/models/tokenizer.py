@@ -263,6 +263,9 @@ def load_tokenizer(
     load it with the model). ``STT_ALLOW_FALLBACK_TOKENIZER=1`` opts out
     for hermetic tests that pair synthetic safetensors with no vocab.
     """
+    allow_fallback = os.getenv(
+        "STT_ALLOW_FALLBACK_TOKENIZER", ""
+    ).strip() in ("1", "true", "yes")
     try:
         if path and os.path.isfile(path):
             if path.endswith(".tiktoken"):
@@ -281,14 +284,10 @@ def load_tokenizer(
             if tk:
                 return TiktokenTokenizer(tk[0], n_vocab)
     except Exception:
-        if require_real and os.getenv(
-            "STT_ALLOW_FALLBACK_TOKENIZER", ""
-        ).strip() not in ("1", "true", "yes"):
+        if require_real and not allow_fallback:
             raise
         LOGGER.exception("tokenizer load failed for %r; using fallback", path)
-    if require_real and os.getenv(
-        "STT_ALLOW_FALLBACK_TOKENIZER", ""
-    ).strip() not in ("1", "true", "yes"):
+    if require_real and not allow_fallback:
         raise FileNotFoundError(
             f"real weights were loaded but no tokenizer vocab was found "
             f"under {path!r} (looked for tokenizer.json, "

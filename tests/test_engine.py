@@ -516,6 +516,31 @@ def test_submit_after_close_restarts_engine():
     eng.close()
 
 
+def test_zombie_engine_thread_latches_closed(monkeypatch):
+    """If close() times out waiting for a wedged engine thread (hung
+    device call), the engine must latch closed — a restart would race two
+    _loop generations on the shared queue/semaphore."""
+    eng = WhisperEngine("test", device="cpu", compute_type="float32",
+                        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+                        max_decode_tokens=16)
+    eng._close_join_timeout = 0.2
+    release = threading.Event()
+    wedged = threading.Thread(target=release.wait, daemon=True)
+    wedged.start()
+    eng._running = True
+    eng._thread = wedged  # simulate a _loop stuck in a device call
+    try:
+        eng.close()
+        assert eng._closing, "zombie close did not latch the engine closed"
+        fut = eng.submit(_req(seed=13))
+        with pytest.raises(RuntimeError, match="shutting down"):
+            fut.result(timeout=5)
+        assert eng._thread is None
+    finally:
+        release.set()
+        eng._closing = False
+
+
 def test_harvest_failure_evicts_exec_entries(tmp_path, monkeypatch):
     """A deserialized executable that fails at READBACK (async dispatch
     defers device errors to the harvester) must be evicted so one bad

@@ -90,6 +90,24 @@ def main() -> int:
     dtype = jnp.bfloat16 if args.compute_type == "bfloat16" else jnp.float32
     use_pallas = not args.no_pallas
 
+    # Backend-gated kernel policies consult jax.default_backend() at TRACE
+    # time; on this CPU build host they silently resolve to OFF while the
+    # fingerprint records the env as set — the artifact would mislabel its
+    # program. Refuse rather than ship a policy/program mismatch.
+    gated_on = [
+        name for name, val, off in (
+            ("STT_XATTN_KERNEL", W.XATTN_KERNEL, ("off", "0", "false")),
+            ("STT_FLASH_ATTENTION", W.FLASH_ATTENTION, ("off",)),
+        ) if val not in off
+    ]
+    if gated_on and jax.default_backend() != "tpu":
+        log(f"ERROR: {gated_on} are backend-gated (trace-time "
+            "jax.default_backend() check) and cannot be honored by a "
+            "deviceless CPU build — the artifact would embed the OFF "
+            "program under an ON fingerprint. Unset them, or build on a "
+            "TPU host.")
+        return 2
+
     t0 = time.monotonic()
     topo = topologies.get_topology_desc(
         args.topology, "tpu", chips_per_host_bounds=[1, 1, 1]

@@ -114,7 +114,6 @@ def main():
         enc_only.append(t1 - t0)
         dec_only.append(t2 - t1)
         log(f"device round {i}: enc={t1-t0:.3f}s dec={t2-t1:.3f}s")
-    cache_times = [0.0]
 
     # 3. transfer of rows alone (fresh arrays to defeat caching)
     xfer = []
@@ -158,7 +157,6 @@ def main():
         "dev_min": round(min(dev_total), 3),
         "enc_min": round(min(enc_only), 3),
         "dec_min": round(min(dec_only), 3),
-        "cache_init_min": round(min(cache_times), 3),
         "xfer_min": round(min(xfer), 3),
         "prep_min": round(min(prep), 3),
         "null_rtt_ms": round(min(rt) * 1000, 1),

@@ -127,15 +127,17 @@ class RunManager:
         }
 
     def start_run(self, params: Dict[str, Any]) -> Dict[str, Any]:
-        run_id = time.strftime("%Y%m%d_%H%M%S") + "_" + uuid.uuid4().hex[:6]
-        run_dir = self.runs_dir / run_id
-        run_dir.mkdir(parents=True)
+        # validate BEFORE creating the run dir — a rejected request must
+        # not leave an orphan empty directory behind
         grpc_target = params.get("target")
         if not grpc_target and params.get("target_id"):
             resolved = self.get_target(str(params["target_id"]))
             if resolved is None:
                 raise ValueError(f"unknown target_id {params['target_id']!r}")
             grpc_target = resolved["grpc_target"]
+        run_id = time.strftime("%Y%m%d_%H%M%S") + "_" + uuid.uuid4().hex[:6]
+        run_dir = self.runs_dir / run_id
+        run_dir.mkdir(parents=True)
         cmd = [
             sys.executable, str(REPO_ROOT / "tools/bench/grpc_load_test.py"),
             "--target", str(grpc_target or self.stt_grpc),
