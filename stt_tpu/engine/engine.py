@@ -34,6 +34,7 @@ import os
 import queue
 import threading
 import time
+from collections import OrderedDict
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from functools import partial
@@ -91,6 +92,41 @@ def _wire_dtype():
     return jnp.uint8 if AUDIO_WIRE == "mulaw" else jnp.int16
 
 
+# Partial-draft verification: a session's previous partial tokens are
+# verified in ONE teacher-forced pass and greedy resumes per row from
+# the first mismatch (W.greedy_decode_drafted) — output token-identical
+# to plain greedy, but partial-heavy streaming pays the sequential
+# decode loop only for the NEW tokens each tick. Default on; set
+# STT_DRAFT_PARTIALS=off to route every partial through the plain
+# greedy program. (Selects WHICH program serves a group — the programs
+# themselves are fingerprint-covered via the traced source files.)
+DRAFT_PARTIALS = os.getenv(
+    "STT_DRAFT_PARTIALS", "on"
+).strip().lower() not in ("off", "0", "false", "no")
+
+_EMPTY_DRAFT = np.zeros((0,), np.int32)
+
+
+def _draft_eligible(request: "DecodeRequest") -> bool:
+    """Partials that the drafted greedy program can serve exactly:
+    greedy (beam 1), no timestamp grammar, no rep-penalty/ngram state
+    (those route through the stateful loop variants), a primary
+    greedy rung, and a real session id to correlate ticks under."""
+    if request.is_final or not DRAFT_PARTIALS:
+        return False
+    if not request.session_id or request.session_id == "unknown":
+        return False
+    if _beam_size_of(request) > 1:
+        return False
+    if not bool(request.options.get("without_timestamps", True)):
+        return False
+    if _ngram_of(request) or _rep_penalty_of(request) != 1.0:
+        return False
+    if _temperature_ladder(request.options)[0] > 0:
+        return False
+    return True
+
+
 @dataclass
 class DecodeRequest:
     audio: np.ndarray                      # float32 mono @ 16 kHz
@@ -124,13 +160,18 @@ class DecodeOutput:
 
 
 class _Task:
-    __slots__ = ("request", "future", "cancel_event", "enqueued_at")
+    __slots__ = ("request", "future", "cancel_event", "enqueued_at", "draft")
 
     def __init__(self, request: DecodeRequest, cancel_event: Optional[threading.Event]):
         self.request = request
         self.future: Future = Future()
         self.cancel_event = cancel_event
         self.enqueued_at = time.monotonic()
+        # previous-partial draft tokens for this session (np.int32), an
+        # empty array for draft-eligible rows with nothing stored yet,
+        # or None when the request routes through the plain programs;
+        # attached by _process before grouping
+        self.draft: Optional[np.ndarray] = None
 
 
 def _beam_size_of(request: DecodeRequest) -> int:
@@ -445,6 +486,46 @@ def _decode_serve(
     return _pack_result(res, lang_idx, lang_p)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_head_text", "max_new_tokens", "config",
+                     "detect", "lang_pos", "suppress_blank"),
+)
+def _decode_serve_drafted(
+    params, enc, prompt, prompt_len, draft, draft_len, auto_mask,
+    config,
+    n_head_text: int, max_new_tokens: int, detect: bool = True,
+    lang_pos: int = 1, suppress_blank: bool = True,
+) -> jnp.ndarray:
+    """Draft-verified greedy serve program for streaming partials: the
+    :func:`_decode_serve` contract (on-device language detection,
+    packed outputs) around :func:`W.greedy_decode_drafted`. Rows
+    without a stored draft ride along with ``draft_len == 0``. Packs
+    ONE extra int32 column: the per-row accepted-draft-token count
+    (metrics)."""
+    layout = W.token_layout(config.n_vocab)
+    given_idx = prompt[:, lang_pos] - layout.lang_begin
+    if detect:
+        probs = W.detect_language(params, enc, config, n_head_text)
+        det_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        det_p = jnp.max(probs, axis=-1).astype(jnp.float32)
+        lang_idx = jnp.where(auto_mask, det_idx, given_idx)
+        lang_p = jnp.where(auto_mask, det_p, jnp.float32(1.0))
+        prompt = prompt.at[:, lang_pos].set(layout.lang_begin + lang_idx)
+    else:
+        lang_idx = given_idx
+        lang_p = jnp.ones_like(given_idx, jnp.float32)
+    res = W.greedy_decode_drafted(
+        params, enc, prompt, prompt_len, draft, draft_len, config,
+        n_head_text, max_new_tokens, suppress_blank=suppress_blank,
+        sot_pos=lang_pos - 1,
+    )
+    packed = _pack_result(res, lang_idx, lang_p)
+    return jnp.concatenate(
+        [packed, res.n_accepted.astype(jnp.int32)[:, None]], axis=1
+    )
+
+
 def _serve_step(
     params, rows, prompt, prompt_len, auto_mask, rep_penalty,
     config,
@@ -524,6 +605,7 @@ def exec_fingerprint(
     h.update(W.XATTN_KERNEL.encode())
     h.update(W.DECODER_WEIGHTS_DTYPE.encode())
     h.update(W.FLASH_ATTENTION.encode())
+    h.update(W.PREFILL.encode())
     root = Path(__file__).resolve().parents[1]
     for rel in _EXEC_SRC_FILES:
         try:
@@ -543,16 +625,18 @@ def max_new_for(bucket_sec: float, max_decode_tokens: int) -> int:
 def aot_compile_serve_shape(
     params, config, dtype, use_pallas: bool,
     bucket_sec: float, batch_n: int, beam: int, max_decode_tokens: int,
-    *, need_enc: bool = True, need_dec: bool = True, placeholder=None,
+    *, need_enc: bool = True, need_dec: bool = True,
+    need_draft: bool = False, placeholder=None,
 ):
-    """Lower+compile the (mel-encode, decode-serve) programs for ONE
-    serve shape with placeholder args that match the runtime call
-    signature exactly (shapes, dtypes, static values) — a mismatch would
-    silently fall back to a serving-time compile, so this construction
-    mirrors ``_device_phase``. Shared by the engine's AOT prewarm and
-    the deviceless artifact builder (tools/aot_build_exec_cache.py),
-    which passes ``placeholder`` to attach topology shardings to each
-    ShapeDtypeStruct. Returns ``(enc_compiled|None, dec_compiled|None)``.
+    """Lower+compile the (mel-encode, decode-serve[, drafted-decode])
+    programs for ONE serve shape with placeholder args that match the
+    runtime call signature exactly (shapes, dtypes, static values) — a
+    mismatch would silently fall back to a serving-time compile, so this
+    construction mirrors ``_device_phase``. Shared by the engine's AOT
+    prewarm and the deviceless artifact builder
+    (tools/aot_build_exec_cache.py), which passes ``placeholder`` to
+    attach topology shardings to each ShapeDtypeStruct. Returns
+    ``(enc_compiled|None, dec_compiled|None, draft_compiled|None)``.
     """
     sds = jax.ShapeDtypeStruct
     ph = placeholder or (lambda x: x)
@@ -565,14 +649,15 @@ def aot_compile_serve_shape(
     enc_compiled = None
     if need_enc:
         enc_compiled = _mel_encode.lower(params, *enc_args).compile()
-    dec_compiled = None
-    if need_dec:
+    dec_compiled = draft_compiled = None
+    if need_dec or need_draft:
         prompt = ph(sds((batch_n, p_len), jnp.int32))
         prompt_len = ph(sds((batch_n,), jnp.int32))
         auto_mask = ph(sds((batch_n,), jnp.bool_))
         enc_aval = jax.eval_shape(
             lambda r: _mel_encode(params, r, *enc_args[1:]), rows
         )
+    if need_dec:
         dec_compiled = _decode_serve.lower(
             params, enc_aval, prompt, prompt_len, auto_mask, None,
             config,
@@ -587,7 +672,20 @@ def aot_compile_serve_shape(
             suppress_blank=True,
             ngram_n=0,
         ).compile()
-    return enc_compiled, dec_compiled
+    if need_draft:
+        draft = ph(sds((batch_n, max_new), jnp.int32))
+        draft_len = ph(sds((batch_n,), jnp.int32))
+        draft_compiled = _decode_serve_drafted.lower(
+            params, enc_aval, prompt, prompt_len, draft, draft_len,
+            auto_mask,
+            config,
+            n_head_text=config.n_text_head,
+            max_new_tokens=max_new,
+            detect=True,
+            lang_pos=1,
+            suppress_blank=True,
+        ).compile()
+    return enc_compiled, dec_compiled, draft_compiled
 
 
 def write_exec_blob(path, compiled) -> None:
@@ -691,6 +789,16 @@ class WhisperEngine:
         # on-disk executable cache) and consulted by _device_phase
         self._serve_exec: Dict[str, Any] = {}
         self._exec_fp: Optional[str] = None
+        # per-session draft store for partial-draft verification: the
+        # generated tokens of each session's newest partial (LRU-bounded;
+        # a final or eviction invalidates the entry)
+        self._drafts: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._drafts_lock = threading.Lock()
+        self._drafts_cap = 2048
+        # cumulative draft-verification stats (bench/metrics/tests):
+        # rows that carried a non-empty draft, draft tokens offered,
+        # draft tokens accepted
+        self.draft_stats = {"rows": 0, "offered": 0, "accepted": 0}
 
         t0 = time.monotonic()
         if weights_path:
@@ -949,6 +1057,7 @@ class WhisperEngine:
         beam_sizes: Optional[Sequence[int]] = None,
         parallelism: int = 1,
         mode: str = "execute",
+        include_drafted: bool = False,
     ) -> float:
         """Compile selected (audio-bucket, batch-bucket) programs up front.
 
@@ -992,7 +1101,9 @@ class WhisperEngine:
         def _warm_one(combo) -> None:
             sec, bsz, beam = combo
             if mode == "aot":
-                self._aot_compile_serve(sec, bsz, beam)
+                self._aot_compile_serve(
+                    sec, bsz, beam, include_drafted=include_drafted
+                )
                 return
             audio = np.zeros(int(sec * SAMPLE_RATE), np.float32)
             opts = {"beam_size": beam} if beam > 1 else {}
@@ -1065,6 +1176,10 @@ class WhisperEngine:
     def _enc_exec_key(bucket_sec: float, batch_n: int) -> str:
         return f"enc_b{bucket_sec:g}_n{batch_n}"
 
+    @staticmethod
+    def _draft_exec_key(bucket_sec: float, batch_n: int) -> str:
+        return f"serve_b{bucket_sec:g}_n{batch_n}_draft"
+
     def _exec_usable(self) -> bool:
         """Deserialized executables bind to the process default devices;
         replica engines pinned to a non-default device or a mesh must keep
@@ -1074,18 +1189,24 @@ class WhisperEngine:
         return self._device is None or self._device == jax.devices()[0]
 
     def _aot_compile_serve(
-        self, bucket_sec: float, batch_n: int, beam: int
+        self, bucket_sec: float, batch_n: int, beam: int,
+        include_drafted: bool = False,
     ) -> None:
         """AOT-compile ONE _serve_step shape with placeholder args that
         match the runtime call signature exactly (shapes, dtypes, static
         values) — a mismatch would silently fall back to a serving-time
-        compile, so this construction mirrors ``_device_phase``."""
+        compile, so this construction mirrors ``_device_phase``.
+        ``include_drafted`` adds the draft-verified partial program
+        (beam-1 only) — boot prewarm passes it for partial-serving
+        deployments; the bench does not (its workload is finals)."""
         import logging
 
         log = logging.getLogger("stt_tpu")
         enc_key = self._enc_exec_key(bucket_sec, batch_n)
         dec_key = self._serve_exec_key(bucket_sec, batch_n, beam)
+        draft_key = self._draft_exec_key(bucket_sec, batch_n)
         use_exec = self._exec_usable()
+        include_drafted = include_drafted and beam <= 1
 
         def have(key):
             if not use_exec:
@@ -1102,19 +1223,21 @@ class WhisperEngine:
 
         need_enc = not have(enc_key)
         need_dec = not have(dec_key)
-        if use_exec and not need_enc and not need_dec:
+        need_draft = include_drafted and not have(draft_key)
+        if use_exec and not need_enc and not need_dec and not need_draft:
             return
-        enc_compiled, dec_compiled = aot_compile_serve_shape(
+        enc_compiled, dec_compiled, draft_compiled = aot_compile_serve_shape(
             self.params, self.config, self._dtype, self._use_pallas,
             bucket_sec, batch_n, beam, self.max_decode_tokens,
-            need_enc=need_enc, need_dec=need_dec,
+            need_enc=need_enc, need_dec=need_dec, need_draft=need_draft,
         )
-        if enc_compiled is not None and use_exec:
-            self._serve_exec[enc_key] = enc_compiled
-            self._store_exec(enc_key, enc_compiled)
-        if dec_compiled is not None and use_exec:
-            self._serve_exec[dec_key] = dec_compiled
-            self._store_exec(dec_key, dec_compiled)
+        for key, compiled in (
+            (enc_key, enc_compiled), (dec_key, dec_compiled),
+            (draft_key, draft_compiled),
+        ):
+            if compiled is not None and use_exec:
+                self._serve_exec[key] = compiled
+                self._store_exec(key, compiled)
 
     def _load_exec(self, key: str):
         """Deserialize one stored executable; None on any miss/failure.
@@ -1187,6 +1310,28 @@ class WhisperEngine:
             if not self._running and self._queue.empty():
                 return
 
+    # -- partial-draft store ----------------------------------------------------
+
+    def _draft_get(self, session_id: str) -> np.ndarray:
+        """Stored draft tokens for a session (empty array when none)."""
+        with self._drafts_lock:
+            arr = self._drafts.get(session_id)
+            if arr is None:
+                return _EMPTY_DRAFT
+            self._drafts.move_to_end(session_id)
+            return arr
+
+    def _draft_put(self, session_id: str, tokens: np.ndarray) -> None:
+        with self._drafts_lock:
+            self._drafts[session_id] = tokens
+            self._drafts.move_to_end(session_id)
+            while len(self._drafts) > self._drafts_cap:
+                self._drafts.popitem(last=False)
+
+    def _draft_evict(self, session_id: str) -> None:
+        with self._drafts_lock:
+            self._drafts.pop(session_id, None)
+
     def _group_key(self, task: _Task) -> Tuple:
         """Batch-compatibility signature. Shape axes (bucket, prompt/ctx
         lengths) AND every decode policy that is applied group-wide must
@@ -1209,8 +1354,10 @@ class WhisperEngine:
             _best_of_of(request),
             _reset_temp_of(request),
         )
+        # drafted rows run a different program (draft-verified greedy);
+        # eligibility was resolved in _process (task.draft is None/array)
         return (bucket, p_len, ctx_len, beam, with_ts, patience, len_pen,
-                sb, ng, fallback_sig)
+                sb, ng, fallback_sig, task.draft is not None)
 
     def _is_long(self, request: DecodeRequest) -> bool:
         """True when a FINAL decode's audio exceeds the largest compiled
@@ -1237,6 +1384,13 @@ class WhisperEngine:
             live = [t for t in live if id(t) not in long_ids]
         groups: Dict[Tuple, List[_Task]] = {}
         for task in live:
+            # resolve draft routing once, before grouping: eligible
+            # partials get their session's stored draft (empty array
+            # when none yet — they still share the drafted batch group)
+            task.draft = (
+                self._draft_get(task.request.session_id)
+                if _draft_eligible(task.request) else None
+            )
             groups.setdefault(self._group_key(task), []).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
@@ -1525,6 +1679,12 @@ class WhisperEngine:
     def _run_group(
         self, group: List[_Task], already_running: bool = False
     ) -> List[DecodeOutput]:
+        # direct callers (transcribe_sync, prewarm) bypass _process's
+        # grouping, so draft routing resolves here; a mixed group can't
+        # happen — direct calls are single-task or option-homogeneous
+        for task in group:
+            if task.draft is None and _draft_eligible(task.request):
+                task.draft = self._draft_get(task.request.session_id)
         if self._profile_dir and self._profiled < self._profile_batches:
             self._profiled += 1
             with jax.profiler.trace(self._profile_dir):
@@ -1660,6 +1820,21 @@ class WhisperEngine:
         # an array traces the penalized variant once per shape
         rep_dev = None if (rep_arr == 1.0).all() else jnp.asarray(rep_arr)
         auto_dev = jnp.asarray(auto_mask)
+        # drafted groups (uniform: the group key carries the flag) pack
+        # the per-session draft rows; width is the bucket's max_new so
+        # one program per serve shape covers every draft length
+        drafted = group[0].draft is not None
+        draft_dev = dlen_dev = None
+        if drafted:
+            draft_arr = np.full((batch_n, max_new), self.layout.eot, np.int32)
+            dlen_arr = np.zeros((batch_n,), np.int32)
+            for i, task in enumerate(group):
+                dtoks = task.draft[:max_new]
+                if len(dtoks):
+                    draft_arr[i, : len(dtoks)] = dtoks
+                dlen_arr[i] = len(dtoks)
+            draft_dev = jnp.asarray(draft_arr)
+            dlen_dev = jnp.asarray(dlen_arr)
         # canonical-option groups (the hot serving path) run through the
         # prewarmed executable table: no jit trace/dispatch, and after a
         # warm reboot the executable was deserialized, not recompiled
@@ -1669,6 +1844,7 @@ class WhisperEngine:
             rep_dev is None and not with_ts and lang_pos == 1
             and patience == 1.0 and len_pen == 1.0 and sb and ng == 0
             and p_len == len(W.build_prompt(self.config, "en"))
+            and not drafted
         )
         use_exec_table = (canonical and enc_key in self._serve_exec
                           and dec_key in self._serve_exec)
@@ -1694,7 +1870,62 @@ class WhisperEngine:
                 self._serve_exec.pop(enc_key, None)
                 self._serve_exec.pop(dec_key, None)
                 use_exec_table = False
-        if not use_exec_table:
+        draft_key = self._draft_exec_key(bucket_sec, batch_n)
+        draft_exec_keys = None
+        if not use_exec_table and drafted:
+            # drafted partials: shared mel+encoder program (exec-table
+            # entry when present), then the draft-verified decode —
+            # through its own exec-table entry when the boot prewarm
+            # (include_drafted) or a previous load compiled it
+            use_enc_tab = enc_key in self._serve_exec and self._exec_usable()
+            use_draft_tab = (
+                lang_pos == 1 and sb
+                and draft_key in self._serve_exec and self._exec_usable()
+            )
+            try:
+                if use_enc_tab:
+                    enc = self._serve_exec[enc_key](self.params, rows_dev)
+                else:
+                    enc = _mel_encode(
+                        self.params, rows_dev, self.config.n_audio_head,
+                        self.config.n_mels, self._dtype, self._use_pallas,
+                    )
+                if use_draft_tab:
+                    packed = self._serve_exec[draft_key](
+                        self.params, enc, prompt_dev, prompt_len_dev,
+                        draft_dev, dlen_dev, auto_dev,
+                    )
+            except Exception:
+                import logging
+
+                logging.getLogger("stt_tpu").warning(
+                    "drafted exec-table call failed for %s/%s; evicting "
+                    "and falling back to jit", enc_key, draft_key,
+                    exc_info=True,
+                )
+                self._serve_exec.pop(enc_key, None)
+                self._serve_exec.pop(draft_key, None)
+                use_enc_tab = use_draft_tab = False
+                enc = _mel_encode(
+                    self.params, rows_dev, self.config.n_audio_head,
+                    self.config.n_mels, self._dtype, self._use_pallas,
+                )
+            if not use_draft_tab:
+                packed = _decode_serve_drafted(
+                    self.params, enc, prompt_dev, prompt_len_dev,
+                    draft_dev, dlen_dev, auto_dev,
+                    self.config,
+                    n_head_text=self.config.n_text_head,
+                    max_new_tokens=max_new,
+                    detect=True,
+                    lang_pos=lang_pos,
+                    suppress_blank=sb,
+                )
+            draft_exec_keys = (
+                ((enc_key,) if use_enc_tab else ())
+                + ((draft_key,) if use_draft_tab else ())
+            ) or None
+        elif not use_exec_table:
             packed = _serve_step(
                 self.params, rows_dev, prompt_dev, prompt_len_dev,
                 auto_dev, rep_dev,
@@ -1727,12 +1958,14 @@ class WhisperEngine:
             "langs": langs, "lang_ps": lang_ps, "p_len": p_len,
             "with_ts": with_ts, "bucket_sec": bucket_sec,
             "max_new": max_new, "batch_n": batch_n, "n": n,
-            "t_start": t_start,
+            "t_start": t_start, "drafted": drafted,
             # which exec-table entries produced `packed` — jax dispatch is
             # async, so a bad deserialized executable often fails at the
             # READBACK (harvester), not the call above; the harvester
             # evicts these so the next batch recompiles through jit
-            "exec_keys": (enc_key, dec_key) if use_exec_table else None,
+            "exec_keys": (
+                (enc_key, dec_key) if use_exec_table else draft_exec_keys
+            ),
         }
 
     def _harvest(self, ctx: Dict[str, Any]) -> List[DecodeOutput]:
@@ -1821,6 +2054,22 @@ class WhisperEngine:
             )
 
         arr = np.asarray(packed)  # the ONE device->host transfer
+        if ctx.get("drafted"):
+            # drafted packing appends the accepted-draft-token counts
+            accepted = arr[:, -1]
+            arr = arr[:, :-1]
+            offered = sum(
+                min(len(t.draft), ctx["max_new"])
+                for t in group if t.draft is not None
+            )
+            rows_with = sum(
+                1 for t in group
+                if t.draft is not None and len(t.draft) > 0
+            )
+            st = self.draft_stats
+            st["rows"] += rows_with
+            st["offered"] += offered
+            st["accepted"] += int(accepted[: len(group)].sum())
         # resolve on-device-detected languages from the packed tail columns
         t_max = arr.shape[1] - 5
         for i in range(len(group)):
@@ -1972,6 +2221,24 @@ class WhisperEngine:
                 logging.getLogger("stt_tpu").exception(
                     "word-timestamp alignment failed; results carry no words"
                 )
+
+        # refresh the per-session draft store: a partial's generated
+        # tokens draft the session's NEXT partial; a final invalidates
+        # (the stream's buffer resets — the old transcript is stale)
+        for i, task in enumerate(group):
+            sid = task.request.session_id
+            if not sid:
+                continue
+            if task.request.is_final:
+                self._draft_evict(sid)
+            elif task.draft is not None:
+                out = outputs[i]
+                if out._tokens is not None and out._n_gen >= 0:
+                    gen = np.asarray(
+                        out._tokens[out._p_len: out._p_len + out._n_gen],
+                        np.int32,
+                    )
+                    self._draft_put(sid, gen)
 
         elapsed = time.monotonic() - t_start
         if self._metrics is not None:

@@ -478,11 +478,17 @@ class ModelRegistry:
                 beams = sorted({
                     max(1, min(int(bm), 8)) for bm in (prewarm_beams or [1])
                 })
+                from .engine import DRAFT_PARTIALS
+
                 for eng in engines:
                     eng.prewarm(
                         batch_sizes=sizes, include_detect=True,
                         beam_sizes=beams, parallelism=prewarm_threads,
                         mode=prewarm_mode,
+                        # partial-serving boots also warm the drafted
+                        # greedy program (AOT mode only) so a session's
+                        # second partial never stalls on its compile
+                        include_drafted=DRAFT_PARTIALS,
                     )
                 if prewarm_mode == "aot":
                     # one real tiny decode proves end-to-end execution

@@ -393,6 +393,17 @@ def _flash_applicable(t: int) -> bool:
 XATTN_KERNEL = os.getenv("STT_XATTN_KERNEL", "off").strip().lower()
 
 
+# Prompt-prefill policy: "parallel" (default) fills the KV cache for all
+# prompt positions in ONE teacher-forced pass (matmuls with M=prompt_len
+# on the MXU); "seq" keeps the one-_decoder_step-per-position fori_loop.
+# The sequential path costs one full decode step per prompt token — for
+# a conditioned long-final window (sot_prev + up to ~224 ctx tokens,
+# reference faster_whisper condition_on_previous_text) that is ~3x the
+# whole generation loop. Kept as an A/B/fallback knob; part of the exec
+# fingerprint (engine.exec_fingerprint).
+PREFILL = os.getenv("STT_PREFILL", "parallel").strip().lower()
+
+
 def _xattn_kernel_applicable() -> bool:
     if XATTN_KERNEL in ("off", "0", "false"):
         return False
@@ -698,21 +709,45 @@ def _decoder_step(
 ):
     """One decode position for a whole batch.
 
-    tokens: (B,) int32; pos: scalar position index; valid_len: scalar count of
-    valid cache entries (== pos). Returns (logits (B, V), new cache).
+    tokens: (B,) int32; pos: position index — a scalar (the lockstep
+    serving loop) or a (B,) vector (the draft-verified resume loop,
+    where each row continues from its own acceptance boundary);
+    valid_len: count of valid cache entries (== pos), same rank as
+    ``pos``. Returns (logits (B, V), new cache).
+
+    Vector-pos cache writes merge through a per-row one-hot mask over
+    the full (B, H, T, Dh) layer cache instead of a single
+    dynamic_update_slice — roughly doubling self-KV write traffic (the
+    self cache is ~6% of per-step HBM) in exchange for rows decoding
+    at independent positions.
     """
+    vec_pos = jnp.ndim(pos) > 0  # static: traced rank, not value
     dec = params["decoder"]
     x = _tok_embed(dec, tokens)[:, None, :]  # (B, 1, d)
-    x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1, axis=0)[None].astype(
-        x.dtype
-    )
+    if vec_pos:
+        x = x + dec["pos"][pos][:, None, :].astype(x.dtype)  # (B, 1, d)
+    else:
+        x = x + jax.lax.dynamic_slice_in_dim(
+            dec["pos"], pos, 1, axis=0
+        )[None].astype(x.dtype)
     d = x.shape[-1]
     scale = (d // n_head) ** -0.25
 
     t_max = cache.k.shape[3]
-    # mask future cache slots: (1, 1, 1, T_max) additive
+    # mask future cache slots: (1|B, 1, 1, T_max) additive
     slot_ids = jnp.arange(t_max)
-    mask = jnp.where(slot_ids[None, None, None, :] <= valid_len, 0.0, -jnp.inf)
+    if vec_pos:
+        mask = jnp.where(
+            slot_ids[None, None, None, :] <= valid_len[:, None, None, None],
+            0.0, -jnp.inf,
+        )
+    else:
+        mask = jnp.where(
+            slot_ids[None, None, None, :] <= valid_len, 0.0, -jnp.inf
+        )
+    write_row = (
+        slot_ids[None, :] == pos[:, None] if vec_pos else None
+    )  # (B, T_max) one-hot column selector per row
 
     xk, xv = cross_kv
     k_cache, v_cache = cache.k, cache.v
@@ -736,13 +771,25 @@ def _decoder_step(
             _linear(hn, block["attn"]["k"]), n_head
         ) * scale
         v_new = _split_heads(_linear(hn, block["attn"]["v"]), n_head)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new.astype(k_cache.dtype)[None], (li, 0, 0, pos, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new.astype(v_cache.dtype)[None], (li, 0, 0, pos, 0)
-        )
-        attn_out = _attn_cached(qh, k_cache[li], v_cache[li], mask).astype(
+        if vec_pos:
+            sel = write_row[:, None, :, None]  # (B, 1, T, 1)
+            kl = jnp.where(sel, k_new.astype(k_cache.dtype), k_cache[li])
+            vl = jnp.where(sel, v_new.astype(v_cache.dtype), v_cache[li])
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, kl[None], (li, 0, 0, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vl[None], (li, 0, 0, 0, 0)
+            )
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_new.astype(k_cache.dtype)[None], (li, 0, 0, pos, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_new.astype(v_cache.dtype)[None], (li, 0, 0, pos, 0)
+            )
+            kl, vl = k_cache[li], v_cache[li]
+        attn_out = _attn_cached(qh, kl, vl, mask).astype(
             h.dtype
         )
         h = h + _linear(_merge_heads(attn_out), block["attn"]["o"])
@@ -768,6 +815,100 @@ def _decoder_step(
     x = _layer_norm(h, dec["ln"])
     logits = _tok_logits(dec, x[:, 0, :])
     return logits, KVCache(k_cache, v_cache)
+
+
+def _prefill_parallel(params, tokens, width, cache: KVCache, cross_kv, n_head):
+    """Teacher-forced pass over positions [0, width): writes the same
+    cache contents as ``width`` sequential :func:`_decoder_step` calls —
+    position i attends slots <= i, and K/V round-trip through the cache
+    storage dtype so fp8 self-KV parity holds — but as ONE batched
+    program whose matmuls have M=width instead of M=1.
+
+    tokens: (B, >=width) int32. Returns (h (B, width, d) pre-final-LN
+    hidden states, cache). The layer loop is unrolled for the same
+    write-aliasing reason as :func:`_decoder_step`.
+    """
+    dec = params["decoder"]
+    x = _tok_embed(dec, tokens[:, :width])
+    x = x + dec["pos"][:width][None].astype(x.dtype)
+    scale = (x.shape[-1] // n_head) ** -0.25
+    causal = jnp.where(
+        jnp.arange(width)[None, :] <= jnp.arange(width)[:, None],
+        0.0, -jnp.inf,
+    )[None, None]
+    xk, xv = cross_kv
+    k_cache, v_cache = cache.k, cache.v
+    n_layers = k_cache.shape[0]
+    h = x
+    for li in range(n_layers):
+        block = jax.tree_util.tree_map(lambda a: a[li], dec["blocks"])
+        ck, cv = xk[li], xv[li]
+        hn = _layer_norm(h, block["ln1"])
+        qh = _split_heads(_linear(hn, block["attn"]["q"]), n_head) * scale
+        k_new = (
+            _split_heads(_linear(hn, block["attn"]["k"]), n_head) * scale
+        ).astype(k_cache.dtype)
+        v_new = _split_heads(
+            _linear(hn, block["attn"]["v"]), n_head
+        ).astype(v_cache.dtype)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new[None], (li, 0, 0, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new[None], (li, 0, 0, 0, 0)
+        )
+        attn_out = _attn_cached(qh, k_new, v_new, causal).astype(h.dtype)
+        h = h + _linear(_merge_heads(attn_out), block["attn"]["o"])
+        hx = _layer_norm(h, block["ln_x"])
+        qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
+        x_out = _attn_cached(qx, ck, cv).astype(h.dtype)
+        h = h + _linear(_merge_heads(x_out), block["xattn"]["o"])
+        h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
+    return h, KVCache(k_cache, v_cache)
+
+
+def _prefill(params, tokens, p_len, cache, cross_kv, n_head, sot_pos, layout):
+    """Prompt prefill shared by the decode loops: fills cache positions
+    [0, p_len-1) (the generation loop itself processes the last prompt
+    position) and captures p(no_speech) from the logits AT the sot
+    position (openai ``DecodingTask._main_loop`` reads it there).
+
+    tokens: (B*, T_max) int32 (beam callers pass beam-flattened rows).
+    Returns (cache, no_speech_prob (B*,)). STT_PREFILL=seq selects the
+    one-step-per-position loop; the default computes the same cache in
+    one parallel pass (see :data:`PREFILL`).
+    """
+    b = tokens.shape[0]
+    no_speech0 = jnp.zeros((b,), jnp.float32)
+    if p_len <= 1:
+        return cache, no_speech0
+    if PREFILL != "seq":
+        h, cache = _prefill_parallel(
+            params, tokens, p_len - 1, cache, cross_kv, n_head
+        )
+        dec = params["decoder"]
+        # sot_pos is a traced scalar < p_len - 1 (the sot sequence is
+        # always followed by at least lang + task tokens)
+        h_sot = jax.lax.dynamic_slice_in_dim(h, sot_pos, 1, axis=1)
+        logits = _tok_logits(dec, _layer_norm(h_sot, dec["ln"])[:, 0, :])
+        no_speech = jax.nn.softmax(logits, axis=-1)[:, layout.no_speech]
+        return cache, no_speech
+
+    def prefill_step(i, state):
+        cache, no_speech_prob = state
+        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
+        logits, cache = _decoder_step(
+            params, tok_i, i, cache, cross_kv, n_head, i
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        no_speech_prob = jnp.where(
+            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
+        )
+        return cache, no_speech_prob
+
+    return jax.lax.fori_loop(
+        0, p_len - 1, prefill_step, (cache, no_speech0)
+    )
 
 
 @partial(jax.jit, static_argnames=("n_head",))
@@ -952,22 +1093,8 @@ def greedy_decode(
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-    def prefill_step(i, state):
-        cache, no_speech_prob = state
-        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
-        logits, cache = _decoder_step(
-            params, tok_i, i, cache, cross_kv, n_head, i
-        )
-        probs = jax.nn.softmax(logits, axis=-1)
-        # capture p(no_speech) at the sot position (== 0 only when no
-        # conditioning ctx precedes the sot sequence)
-        no_speech_prob = jnp.where(
-            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
-        )
-        return cache, no_speech_prob
-
-    cache, no_speech_prob = jax.lax.fori_loop(
-        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    cache, no_speech_prob = _prefill(
+        params, tokens, p_len, cache, cross_kv, n_head, sot_pos, layout
     )
     # repetition penalty is structurally optional: rep_penalty=None traces
     # a program with NO seen-state at all (the hot serving path); passing
@@ -1039,6 +1166,207 @@ def greedy_decode(
     return DecodeResult(tokens, first_eot, sum_lp, no_speech_prob)
 
 
+class DraftedResult(NamedTuple):
+    """:class:`DecodeResult` plus the per-row count of draft tokens the
+    verify pass accepted (diagnostics / metrics)."""
+    tokens: jnp.ndarray
+    lengths: jnp.ndarray
+    sum_logprob: jnp.ndarray
+    no_speech_prob: jnp.ndarray
+    n_accepted: jnp.ndarray    # (B,) int32
+
+
+def _verify_positions(dec, h, begin_rows, suppress, begin, chunk: int = 8):
+    """Masked greedy argmax + its logprob at every position of
+    ``h`` (B, J, d): returns (g (B, J) int32, lp (B, J) f32).
+
+    Chunked over J so the f32 logits materialize as (B, chunk, V)
+    (~100 MB at B=64 for whisper vocab) instead of J/chunk times that.
+    ``begin_rows`` (B, J) marks positions where the sample-begin mask
+    applies (generation position == the row's logical prompt length).
+    """
+    b, jtot, d = h.shape
+    pad = (-jtot) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        begin_rows = jnp.pad(begin_rows, ((0, 0), (0, pad)))
+    nch = (jtot + pad) // chunk
+    hs = jnp.transpose(h.reshape(b, nch, chunk, d), (1, 0, 2, 3))
+    brs = jnp.transpose(begin_rows.reshape(b, nch, chunk), (1, 0, 2))
+
+    def one(args):
+        hc, bc = args
+        logits = _tok_logits(dec, _layer_norm(hc, dec["ln"]))
+        logits = logits + suppress[None, None, :] + jnp.where(
+            bc[:, :, None], begin[None, None, :], 0.0
+        )
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        lpg = jnp.take_along_axis(lp, g[..., None], axis=-1)[..., 0]
+        return g, lpg
+
+    g, lpg = jax.lax.map(one, (hs, brs))
+    g = jnp.transpose(g, (1, 0, 2)).reshape(b, jtot + pad)[:, :jtot]
+    lpg = jnp.transpose(lpg, (1, 0, 2)).reshape(b, jtot + pad)[:, :jtot]
+    return g, lpg
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "max_new_tokens", "config", "suppress_blank"),
+)
+def greedy_decode_drafted(
+    params: Dict[str, Any],
+    enc_out: jnp.ndarray,
+    prompt: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    draft: jnp.ndarray,
+    draft_len: jnp.ndarray,
+    config: WhisperConfig,
+    n_head: int,
+    max_new_tokens: int,
+    suppress_blank: bool = True,
+    sot_pos: Optional[jnp.ndarray] = None,
+) -> DraftedResult:
+    """Greedy decode that VERIFIES a per-row draft before generating.
+
+    Streaming partials re-decode a growing buffer every ~1.5 s; the
+    previous partial's tokens are a near-perfect draft for the next
+    decode of the same session. This runs prompt+draft through ONE
+    teacher-forced parallel pass (the cross-KV stream — the per-step
+    bandwidth floor — is paid once for the whole draft instead of per
+    token), accepts the longest prefix where the model's masked greedy
+    argmax equals the draft, commits the corrected token at the first
+    mismatch for free, and resumes the sequential loop per row from its
+    own acceptance boundary. Output is token-identical to
+    :func:`greedy_decode` on the same inputs for ANY draft — the draft
+    only moves work between the parallel and sequential phases.
+
+    Reference role: the speed side of faster_whisper's streaming
+    partials (the reference re-decodes from scratch; this is strictly
+    additional). draft: (B, D) int32, eot-padded past ``draft_len``;
+    requires D <= max_new_tokens. No rep-penalty/ngram variant — the
+    engine routes those policies through :func:`greedy_decode`.
+    """
+    layout = token_layout(config.n_vocab)
+    b, p_len = prompt.shape
+    d_max = draft.shape[1]
+    assert d_max <= max_new_tokens, (d_max, max_new_tokens)
+    t_max = p_len + max_new_tokens
+    cache = init_kv_cache(config, b, t_max, dtype=enc_out.dtype)
+    cross_kv = precompute_cross_kv(params, enc_out, n_head)
+    dec = params["decoder"]
+    suppress = jnp.asarray(_suppress_mask(config, True))
+    begin = jnp.asarray(
+        _sample_begin_mask(config) if suppress_blank
+        else np.zeros(config.n_vocab, np.float32)
+    )
+    sot_pos = _sot_pos_arr(sot_pos)
+    eot = layout.eot
+
+    tokens = jnp.full((b, t_max), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+    tokens = jax.lax.dynamic_update_slice(tokens, draft, (0, p_len))
+
+    # -- parallel verify pass over prompt + draft ---------------------------
+    width = p_len + d_max
+    h, cache = _prefill_parallel(params, tokens, width, cache, cross_kv, n_head)
+    h_sot = jax.lax.dynamic_slice_in_dim(h, sot_pos, 1, axis=1)
+    ns_logits = _tok_logits(dec, _layer_norm(h_sot, dec["ln"])[:, 0, :])
+    no_speech_prob = jax.nn.softmax(ns_logits, axis=-1)[:, layout.no_speech]
+
+    # masked greedy choice at generation positions p_len-1 .. width-1
+    # (g[j] = the token greedy writes AT position p_len + j)
+    hv = h[:, p_len - 1:, :]                                   # (B, D+1, d)
+    jd = jnp.arange(d_max + 1)
+    begin_rows = (p_len + jd[None, :]) == prompt_len[:, None]  # (B, D+1)
+    g, lp_g = _verify_positions(dec, hv, begin_rows, suppress, begin)
+
+    # -- acceptance ----------------------------------------------------------
+    dlen = jnp.clip(draft_len, 0, d_max)
+    valid = jd[None, :d_max] < dlen[:, None]
+    eq = jnp.logical_and(draft == g[:, :d_max], valid)
+    accs = jnp.cumprod(eq.astype(jnp.int32), axis=1)           # (B, D)
+    acc = accs.sum(axis=1)                                     # accepted count
+    # greedy stops AT an eot: cap the committed prefix at the first
+    # accepted eot (everything past it would have been forced padding)
+    acc_eot = jnp.logical_and(draft == eot, accs.astype(bool))
+    has_eot = acc_eot.any(axis=1)
+    n_keep = jnp.where(has_eot, jnp.argmax(acc_eot, axis=1) + 1, acc)
+    budget_full = n_keep >= max_new_tokens
+    commit_c = jnp.logical_and(~has_eot, ~budget_full)
+    c_tok = jnp.take_along_axis(g, n_keep[:, None], axis=1)[:, 0]
+    c_tok = jnp.where(commit_c, c_tok, eot)
+
+    # committed token row: accepted draft prefix, then the corrected
+    # token, then eot padding (stale rejected draft must not survive —
+    # the final first-eot scan reads this buffer)
+    col = jnp.arange(t_max)[None, :]
+    end_pos = p_len + n_keep
+    tokens = jnp.where(col < end_pos[:, None], tokens, eot)
+    tokens = jnp.where(
+        jnp.logical_and(col == end_pos[:, None], commit_c[:, None]),
+        c_tok[:, None], tokens,
+    )
+
+    lp_keep = jnp.where(jd[None, :] < n_keep[:, None], lp_g, 0.0).sum(axis=1)
+    lp_c = jnp.take_along_axis(lp_g, n_keep[:, None], axis=1)[:, 0]
+    sum_lp0 = lp_keep + jnp.where(commit_c, lp_c, 0.0)
+    pos0 = end_pos + commit_c.astype(jnp.int32)
+    # done when: an accepted eot ended the row, the corrected token IS
+    # the eot, or the committed tokens already fill the max_new budget
+    # (n_keep + commit_c == max_new — the loop must not run an extra
+    # step past the greedy bound)
+    finished0 = jnp.logical_or(
+        jnp.logical_or(has_eot, c_tok == eot),
+        pos0 >= p_len + max_new_tokens,
+    )
+
+    # -- per-row sequential resume ------------------------------------------
+    def cond(state):
+        _, _, _, finished, _ = state
+        return ~jnp.all(finished)
+
+    def body(state):
+        tokens, cache, pos, finished, sum_lp = state
+        prev = jnp.maximum(pos - 1, 0)
+        last_tok = jnp.take_along_axis(tokens, prev[:, None], axis=1)[:, 0]
+        logits, cache = _decoder_step(
+            params, last_tok, prev, cache, cross_kv, n_head, prev
+        )
+        # positions here are all > prompt_len: the sample-begin mask was
+        # already applied (if due) in the verify pass
+        logits = logits + suppress
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, eot, next_tok)
+        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        wcol = jnp.minimum(pos, t_max - 1)
+        write = jnp.logical_and((~finished)[:, None], col == wcol[:, None])
+        tokens = jnp.where(write, next_tok[:, None], tokens)
+        newly_done = jnp.logical_or(
+            next_tok == eot, pos + 1 >= p_len + max_new_tokens
+        )
+        pos = jnp.where(finished, pos, pos + 1)
+        finished = jnp.logical_or(finished, newly_done)
+        return tokens, cache, pos, finished, sum_lp
+
+    init = (tokens, cache, pos0.astype(jnp.int32), finished0, sum_lp0)
+    tokens, cache, pos, finished, sum_lp = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    is_eot = jnp.logical_and(tokens == eot, col >= p_len)
+    first_eot = jnp.where(
+        is_eot.any(axis=1), jnp.argmax(is_eot, axis=1),
+        p_len + max_new_tokens,
+    ).astype(jnp.int32)
+    return DraftedResult(
+        tokens, first_eot, sum_lp, no_speech_prob, acc.astype(jnp.int32)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampled decoding (temperature-fallback ladder)
 # ---------------------------------------------------------------------------
@@ -1093,19 +1421,8 @@ def sample_decode(
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-    def prefill_step(i, state):
-        cache, no_speech_prob = state
-        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
-        logits, cache = _decoder_step(params, tok_i, i, cache, cross_kv,
-                                      n_head, i)
-        probs = jax.nn.softmax(logits, axis=-1)
-        no_speech_prob = jnp.where(
-            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
-        )
-        return cache, no_speech_prob
-
-    cache, no_speech_prob = jax.lax.fori_loop(
-        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    cache, no_speech_prob = _prefill(
+        params, tokens, p_len, cache, cross_kv, n_head, sot_pos, layout
     )
 
     def cond(state):
@@ -1410,19 +1727,8 @@ def greedy_decode_timestamps(
     tokens = jnp.full((b, t_max), layout.eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-    def prefill_step(i, state):
-        cache, no_speech_prob = state
-        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))[:, 0]
-        logits, cache = _decoder_step(params, tok_i, i, cache, cross_kv,
-                                      n_head, i)
-        probs = jax.nn.softmax(logits, axis=-1)
-        no_speech_prob = jnp.where(
-            i == sot_pos, probs[:, layout.no_speech], no_speech_prob
-        )
-        return cache, no_speech_prob
-
-    cache, no_speech_prob = jax.lax.fori_loop(
-        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    cache, no_speech_prob = _prefill(
+        params, tokens, p_len, cache, cross_kv, n_head, sot_pos, layout
     )
 
     def cond(state):
@@ -1759,24 +2065,11 @@ def beam_decode(
         tokens, jnp.repeat(prompt[:, None, :], k, axis=1), (0, 0, 0)
     )
 
-    def prefill_step(i, state):
-        cache, no_speech_prob = state
-        tok_i = jax.lax.dynamic_slice(
-            tokens, (0, 0, i), (b, k, 1)
-        ).reshape(bk)
-        logits, cache = _decoder_step(
-            params, tok_i, i, cache, cross_kv, n_head, i
-        )
-        probs = jax.nn.softmax(logits, axis=-1)
-        no_speech_prob = jnp.where(
-            i == sot_pos, probs.reshape(b, k, v)[:, 0, layout.no_speech],
-            no_speech_prob,
-        )
-        return cache, no_speech_prob
-
-    cache, no_speech_prob = jax.lax.fori_loop(
-        0, p_len - 1, prefill_step, (cache, jnp.zeros((b,), jnp.float32))
+    cache, nsp_rows = _prefill(
+        params, tokens.reshape(bk, t_max), p_len, cache, cross_kv, n_head,
+        sot_pos, layout,
     )
+    no_speech_prob = nsp_rows.reshape(b, k)[:, 0]
 
     # beam 0 starts live; the rest at -inf so the first expansion
     # diversifies instead of duplicating

@@ -69,6 +69,12 @@ def main() -> int:
     parser.add_argument("--max-decode-tokens", type=int, default=224,
                         help="engine max_decode_tokens the artifacts are "
                              "built for (part of the cache fingerprint)")
+    parser.add_argument("--include-drafted", action="store_true",
+                        help="also build the draft-verified partial "
+                             "program per beam-1 shape (partial-serving "
+                             "deployments; adds ~one serve-size blob per "
+                             "shape, so the committed bench artifacts "
+                             "leave it off)")
     args = parser.parse_args()
 
     import jax
@@ -149,16 +155,25 @@ def main() -> int:
         # (aot_compile_serve_shape) — builder and runtime cannot drift
         enc_key = E.WhisperEngine._enc_exec_key(bucket_sec, batch_n)
         dec_key = E.WhisperEngine._serve_exec_key(bucket_sec, batch_n, beam)
+        draft_key = E.WhisperEngine._draft_exec_key(bucket_sec, batch_n)
+        want_draft = args.include_drafted and beam <= 1
         t1 = time.monotonic()
-        enc_compiled, dec_compiled = E.aot_compile_serve_shape(
-            params, config, dtype, use_pallas,
-            bucket_sec, batch_n, beam, args.max_decode_tokens,
-            placeholder=with_sharding,
+        enc_compiled, dec_compiled, draft_compiled = (
+            E.aot_compile_serve_shape(
+                params, config, dtype, use_pallas,
+                bucket_sec, batch_n, beam, args.max_decode_tokens,
+                need_draft=want_draft,
+                placeholder=with_sharding,
+            )
         )
         E.write_exec_blob(out_dir / f"{enc_key}.jexec", enc_compiled)
         E.write_exec_blob(out_dir / f"{dec_key}.jexec", dec_compiled)
-        log(f"built {enc_key} + {dec_key} in {time.monotonic() - t1:.1f}s")
         built.extend((enc_key, dec_key))
+        if draft_compiled is not None:
+            E.write_exec_blob(out_dir / f"{draft_key}.jexec", draft_compiled)
+            built.append(draft_key)
+        log(f"built {' + '.join(built[-3 if want_draft else -2:])} "
+            f"in {time.monotonic() - t1:.1f}s")
 
     sizes = {k: (out_dir / f"{k}.jexec").stat().st_size for k in built}
     print(json.dumps({
