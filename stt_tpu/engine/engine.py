@@ -2067,9 +2067,12 @@ class WhisperEngine:
                 if t.draft is not None and len(t.draft) > 0
             )
             st = self.draft_stats
+            n_acc = int(accepted[: len(group)].sum())
             st["rows"] += rows_with
             st["offered"] += offered
-            st["accepted"] += int(accepted[: len(group)].sum())
+            st["accepted"] += n_acc
+            if self._metrics is not None:
+                self._metrics.record_draft_verify(rows_with, offered, n_acc)
         # resolve on-device-detected languages from the packed tail columns
         t_max = arr.shape[1] - 5
         for i in range(len(group)):

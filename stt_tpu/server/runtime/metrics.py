@@ -215,6 +215,16 @@ class Metrics:
             self._counters["engine_compile_count"] += 1
             self._stats["engine_compile"].record(seconds)
 
+    def record_draft_verify(self, rows: int, offered: int,
+                            accepted: int) -> None:
+        """One drafted-partial batch: rows carrying a non-empty draft,
+        draft tokens offered, draft tokens the verify pass accepted
+        (accepted/offered is the streaming speedup signal)."""
+        with self._lock:
+            self._counters["draft_rows"] += rows
+            self._counters["draft_tokens_offered"] += offered
+            self._counters["draft_tokens_accepted"] += accepted
+
     # -- VAD -------------------------------------------------------------------
 
     def record_vad_trigger(self) -> None:

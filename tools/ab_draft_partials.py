@@ -71,7 +71,21 @@ def main() -> None:
 
     from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
 
-    dev = jax.devices()[0]
+    # bounded device discovery: a dead tunnel hangs jax.devices() forever
+    # (same guard as bench.py)
+    import threading
+
+    box: list = []
+    t_probe = threading.Thread(
+        target=lambda: box.append(jax.devices()), daemon=True
+    )
+    t_probe.start()
+    t_probe.join(timeout=float(os.getenv("STT_BENCH_DEVICE_WAIT", "600")))
+    if not box:
+        log("device discovery timed out — TPU tunnel down?")
+        print(json.dumps({"error": "device discovery timed out"}))
+        sys.exit(3)
+    dev = box[0][0]
     log(f"device: {dev}")
     engine = WhisperEngine(
         args.model,
