@@ -107,12 +107,25 @@ DRAFT_PARTIALS = os.getenv(
 _EMPTY_DRAFT = np.zeros((0,), np.int32)
 
 
-def _draft_eligible(request: "DecodeRequest") -> bool:
-    """Partials that the drafted greedy program can serve exactly:
-    greedy (beam 1), no timestamp grammar, no rep-penalty/ngram state
-    (those route through the stateful loop variants), a primary
-    greedy rung, and a real session id to correlate ticks under."""
-    if request.is_final or not DRAFT_PARTIALS:
+def _draft_option_ok(request: "DecodeRequest") -> bool:
+    """Requests the drafted greedy program can serve exactly: greedy
+    (beam 1), no timestamp grammar, no rep-penalty/ngram state (those
+    route through the stateful loop variants), a primary greedy rung,
+    and a real session id to correlate ticks under.
+
+    Routing policy (engine `_process`/`_run_group`): PARTIALS always
+    ride the drafted program (a session's first tick just has
+    draft_len 0 — keeping them in one batch group preserves
+    micro-batching); FINALS join only when a non-empty draft exists —
+    the last partial's tokens draft the utterance-final decode, the
+    latency-critical moment of a stream — so batch-style workloads
+    without partials never pay the verify pass."""
+    if not DRAFT_PARTIALS:
+        return False
+    if request.options.get("_seek_window"):
+        # long-final seek windows decode DIFFERENT audio each iteration:
+        # the previous window's tokens are a useless draft, and storing
+        # window tokens would pollute the session's streaming draft
         return False
     if not request.session_id or request.session_id == "unknown":
         return False
@@ -1321,6 +1334,15 @@ class WhisperEngine:
             self._drafts.move_to_end(session_id)
             return arr
 
+    def _attach_draft(self, task: _Task) -> None:
+        """Resolve draft routing for one task (see _draft_option_ok)."""
+        if task.draft is not None or not _draft_option_ok(task.request):
+            return
+        draft = self._draft_get(task.request.session_id)
+        if task.request.is_final and not len(draft):
+            return  # finals without a draft stay on the plain program
+        task.draft = draft
+
     def _draft_put(self, session_id: str, tokens: np.ndarray) -> None:
         with self._drafts_lock:
             self._drafts[session_id] = tokens
@@ -1384,13 +1406,9 @@ class WhisperEngine:
             live = [t for t in live if id(t) not in long_ids]
         groups: Dict[Tuple, List[_Task]] = {}
         for task in live:
-            # resolve draft routing once, before grouping: eligible
-            # partials get their session's stored draft (empty array
-            # when none yet — they still share the drafted batch group)
-            task.draft = (
-                self._draft_get(task.request.session_id)
-                if _draft_eligible(task.request) else None
-            )
+            # resolve draft routing once, before grouping (see
+            # _draft_option_ok for the partial/final policy)
+            self._attach_draft(task)
             groups.setdefault(self._group_key(task), []).append(task)
         max_rows = self.batch_buckets[-1]
         for group in groups.values():
@@ -1503,10 +1521,23 @@ class WhisperEngine:
         budget = self.config.n_text_ctx // 2 - 1
         return list(self.tokenizer.encode(" " + text)[-budget:])
 
+# conditioning-context length buckets: ctx token counts truncate DOWN
+# to the largest bucket that fits (keeping the newest tokens — the same
+# tail-truncation direction whisper's own n_text_ctx//2 budget applies).
+# Without this every growth of the conditioning text (a streaming
+# session's committed transcript, or each seek-loop window) is a new
+# prompt length == a new compiled program — minutes of XLA compile per
+# tick on small hosts. Below the smallest bucket conditioning is
+# dropped entirely (a <8-token context carries negligible signal and
+# would otherwise churn 7 more shapes).
+    _CTX_BUCKETS = (8, 16, 32, 64, 128)
+
     def _context_prefix(self, request: DecodeRequest) -> List[int]:
         """[sot_prev] + encoded initial_prompt/hotwords, truncated to half
         the text context (whisper conditioning semantics; reference
-        faster_whisper `initial_prompt`/`hotwords` options)."""
+        faster_whisper `initial_prompt`/`hotwords` options), then DOWN to
+        a bucketed length (see _CTX_BUCKETS) so conditioned streams hit
+        a bounded set of compiled prompt shapes."""
         text = str(
             request.options.get("initial_prompt")
             or request.options.get("hotwords")
@@ -1516,6 +1547,13 @@ class WhisperEngine:
             return []
         budget = self.config.n_text_ctx // 2 - 1
         ids = self.tokenizer.encode(" " + text)[-budget:]
+        n = len(ids)
+        if n < budget:
+            keep = 0
+            for b in self._CTX_BUCKETS:
+                if n >= b:
+                    keep = b
+            ids = ids[-keep:] if keep else []
         if not ids:
             return []
         return [self.layout.sot_prev] + list(ids)
@@ -1585,6 +1623,7 @@ class WhisperEngine:
                 w_opts.pop("initial_prompt", None)
             if prefix_once is not None and seek == 0:
                 w_opts["prefix"] = prefix_once
+            w_opts["_seek_window"] = True  # no draft routing (see above)
             sub = DecodeRequest(
                 audio=chunk, language=language, task=req.task,
                 options=w_opts, is_final=False, session_id=req.session_id,
@@ -1630,6 +1669,10 @@ class WhisperEngine:
                 # the conditioning encoder keeps the last n_text_ctx//2
                 # tokens; bound the host string accordingly
                 prev_text = prev_text[-4000:]
+        # a long final ends the utterance like any final: the session's
+        # streaming draft is stale for whatever comes next
+        if req.session_id:
+            self._draft_evict(req.session_id)
         return DecodeOutput(
             segments=segments,
             info=info or BackendInfo(language, 1.0),
@@ -1683,8 +1726,7 @@ class WhisperEngine:
         # grouping, so draft routing resolves here; a mixed group can't
         # happen — direct calls are single-task or option-homogeneous
         for task in group:
-            if task.draft is None and _draft_eligible(task.request):
-                task.draft = self._draft_get(task.request.session_id)
+            self._attach_draft(task)
         if self._profile_dir and self._profiled < self._profile_batches:
             self._profiled += 1
             with jax.profiler.trace(self._profile_dir):

@@ -389,3 +389,93 @@ def test_engine_drafted_exec_table_roundtrip(tmp_path, monkeypatch):
             assert eng.draft_stats["accepted"] >= p1._n_gen
     finally:
         eng.close()
+
+
+def test_engine_final_consumes_draft(draft_engine):
+    """The utterance-final decode rides the drafted program when the
+    session's last partial left a draft — token-identical to the plain
+    final, with the draft accepted."""
+    from stt_tpu.engine.engine import DecodeRequest
+
+    audio = _audio(seed=31)
+    base = draft_engine.transcribe_sync(
+        DecodeRequest(audio=audio, language="en", is_final=True)
+    )
+    sid = "drafts-final"
+    p1 = draft_engine.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=False, session_id=sid,
+    ))
+    before = dict(draft_engine.draft_stats)
+    fin = draft_engine.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=True, session_id=sid,
+    ))
+    after = dict(draft_engine.draft_stats)
+    assert [s.text for s in fin.segments] == [s.text for s in base.segments]
+    if p1._n_gen > 0:
+        assert after["accepted"] - before["accepted"] == p1._n_gen
+    # consumed AND evicted
+    assert len(draft_engine._draft_get(sid)) == 0
+
+
+def test_engine_final_without_draft_stays_plain(draft_engine):
+    """A final on a session with no stored draft must not pay the
+    verify pass (routes through the plain greedy program)."""
+    from stt_tpu.engine.engine import DecodeRequest
+
+    before = dict(draft_engine.draft_stats)
+    out = draft_engine.transcribe_sync(DecodeRequest(
+        audio=_audio(seed=32), language="en", is_final=True,
+        session_id="drafts-fresh-final",
+    ))
+    assert out.segments is not None
+    assert dict(draft_engine.draft_stats) == before
+
+
+def test_ctx_prefix_buckets(draft_engine):
+    """Conditioning ctx token counts truncate down to bucketed lengths
+    so a growing committed transcript cannot churn compiled shapes."""
+    from stt_tpu.engine.engine import DecodeRequest
+
+    tok = draft_engine.tokenizer
+
+    def ctx_len(n_tokens):
+        # build a text that encodes to >= n_tokens, then measure
+        text = tok.decode(list(range(100, 100 + n_tokens)))
+        req = DecodeRequest(
+            audio=_audio(), language="en",
+            options={"initial_prompt": text},
+        )
+        return len(draft_engine._context_prefix(req))
+
+    seen = {ctx_len(n) for n in (2, 9, 12, 20, 40, 70, 129, 200)}
+    # every observed length is 1 + a bucket (the sot_prev slot) or 0
+    allowed = {0} | {1 + b for b in draft_engine._CTX_BUCKETS} | {
+        1 + (draft_engine.config.n_text_ctx // 2 - 1)
+    }
+    assert seen <= allowed, (seen, allowed)
+    assert ctx_len(2) == 0          # below the smallest bucket: dropped
+    assert ctx_len(20) == 1 + 16    # truncated down to 16
+
+
+def test_seek_windows_bypass_draft_store(draft_engine):
+    """Long-final seek windows must neither consume nor write drafts
+    (each window decodes different audio), and the long final evicts
+    the session's streaming draft like any final."""
+    from stt_tpu.engine.engine import DecodeRequest
+
+    sid = "drafts-long"
+    audio = _audio(seed=41)
+    draft_engine.transcribe_sync(DecodeRequest(
+        audio=audio, language="en", is_final=False, session_id=sid,
+    ))
+    assert len(draft_engine._draft_get(sid)) >= 0
+    before = dict(draft_engine.draft_stats)
+    long_audio = _audio(dur=4.5, seed=42)  # > 2s max bucket -> seek loop
+    out = draft_engine.transcribe_sync(DecodeRequest(
+        audio=long_audio, language="en", is_final=True, session_id=sid,
+    ))
+    assert out.segments is not None
+    # windows carried no drafts: acceptance stats untouched
+    assert dict(draft_engine.draft_stats) == before
+    # and the long final evicted the stream's draft
+    assert len(draft_engine._draft_get(sid)) == 0
