@@ -301,6 +301,13 @@ class Metrics:
                 payload, "engine_batch_occupancy", "engine_batch_occupancy"
             )
             payload["engine_compile_count"] = self._counters["engine_compile_count"]
+            payload["draft_rows"] = self._counters["draft_rows"]
+            payload["draft_tokens_offered"] = self._counters[
+                "draft_tokens_offered"
+            ]
+            payload["draft_tokens_accepted"] = self._counters[
+                "draft_tokens_accepted"
+            ]
             if self._expose_api_key_metrics and self._api_key_sessions:
                 payload["active_sessions_by_api"] = dict(self._api_key_sessions)
             if self._stream_buffer_bytes:
