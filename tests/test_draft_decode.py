@@ -479,3 +479,25 @@ def test_seek_windows_bypass_draft_store(draft_engine):
     assert dict(draft_engine.draft_stats) == before
     # and the long final evicted the stream's draft
     assert len(draft_engine._draft_get(sid)) == 0
+
+
+def test_engine_drafted_auto_language(draft_engine):
+    """Auto-detect rows ride the drafted program too: detection patches
+    the prompt's language slot before the verify pass, identically to
+    the plain program."""
+    from stt_tpu.engine.engine import DecodeRequest
+
+    audio = _audio(seed=51)
+    base = draft_engine.transcribe_sync(
+        DecodeRequest(audio=audio, language=None)
+    )
+    sid = "drafts-auto"
+    p1 = draft_engine.transcribe_sync(DecodeRequest(
+        audio=audio, language=None, is_final=False, session_id=sid,
+    ))
+    p2 = draft_engine.transcribe_sync(DecodeRequest(
+        audio=audio, language=None, is_final=False, session_id=sid,
+    ))
+    assert p1.info.language == base.info.language
+    assert p2.info.language == base.info.language
+    assert [s.text for s in p2.segments] == [s.text for s in base.segments]
