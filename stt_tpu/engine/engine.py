@@ -456,6 +456,33 @@ def _sample_packed(
     return _pack_result(res)
 
 
+def _detect_and_patch_lang(
+    params, enc, prompt, auto_mask, config, n_head_text: int,
+    detect: bool, lang_pos: int,
+):
+    """On-device language detection + prompt language-slot patch, shared
+    by the plain and drafted serve programs (they must stay
+    token-identical, so the detect semantics live in exactly one place).
+    With ``detect=True``, rows flagged by ``auto_mask`` get their
+    prompt's language slot (``prompt[:, lang_pos]``) overwritten with
+    the argmax detected language before decoding — no host round-trip
+    between encode and decode. Returns ``(prompt, lang_idx, lang_p)``;
+    the index/probability ride home in the packed array's tail columns."""
+    layout = W.token_layout(config.n_vocab)
+    given_idx = prompt[:, lang_pos] - layout.lang_begin
+    if detect:
+        probs = W.detect_language(params, enc, config, n_head_text)
+        det_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        det_p = jnp.max(probs, axis=-1).astype(jnp.float32)
+        lang_idx = jnp.where(auto_mask, det_idx, given_idx)
+        lang_p = jnp.where(auto_mask, det_p, jnp.float32(1.0))
+        prompt = prompt.at[:, lang_pos].set(layout.lang_begin + lang_idx)
+    else:
+        lang_idx = given_idx
+        lang_p = jnp.ones_like(given_idx, jnp.float32)
+    return prompt, lang_idx, lang_p
+
+
 @partial(
     jax.jit,
     static_argnames=("n_head_text", "max_new_tokens", "config",
@@ -478,18 +505,10 @@ def _decode_serve(
     language before decoding — no host round-trip between encode and
     decode. The detected language index and probability ride home in the
     packed array's last two columns."""
-    layout = W.token_layout(config.n_vocab)
-    given_idx = prompt[:, lang_pos] - layout.lang_begin
-    if detect:
-        probs = W.detect_language(params, enc, config, n_head_text)
-        det_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        det_p = jnp.max(probs, axis=-1).astype(jnp.float32)
-        lang_idx = jnp.where(auto_mask, det_idx, given_idx)
-        lang_p = jnp.where(auto_mask, det_p, jnp.float32(1.0))
-        prompt = prompt.at[:, lang_pos].set(layout.lang_begin + lang_idx)
-    else:
-        lang_idx = given_idx
-        lang_p = jnp.ones_like(given_idx, jnp.float32)
+    prompt, lang_idx, lang_p = _detect_and_patch_lang(
+        params, enc, prompt, auto_mask, config, n_head_text, detect,
+        lang_pos,
+    )
     res = _decode_best(
         params, enc, prompt, prompt_len, config, n_head_text,
         max_new_tokens, beam_size, with_timestamps, patience,
@@ -516,18 +535,10 @@ def _decode_serve_drafted(
     without a stored draft ride along with ``draft_len == 0``. Packs
     ONE extra int32 column: the per-row accepted-draft-token count
     (metrics)."""
-    layout = W.token_layout(config.n_vocab)
-    given_idx = prompt[:, lang_pos] - layout.lang_begin
-    if detect:
-        probs = W.detect_language(params, enc, config, n_head_text)
-        det_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        det_p = jnp.max(probs, axis=-1).astype(jnp.float32)
-        lang_idx = jnp.where(auto_mask, det_idx, given_idx)
-        lang_p = jnp.where(auto_mask, det_p, jnp.float32(1.0))
-        prompt = prompt.at[:, lang_pos].set(layout.lang_begin + lang_idx)
-    else:
-        lang_idx = given_idx
-        lang_p = jnp.ones_like(given_idx, jnp.float32)
+    prompt, lang_idx, lang_p = _detect_and_patch_lang(
+        params, enc, prompt, auto_mask, config, n_head_text, detect,
+        lang_pos,
+    )
     res = W.greedy_decode_drafted(
         params, enc, prompt, prompt_len, draft, draft_len, config,
         n_head_text, max_new_tokens, suppress_blank=suppress_blank,
@@ -1521,23 +1532,34 @@ class WhisperEngine:
         budget = self.config.n_text_ctx // 2 - 1
         return list(self.tokenizer.encode(" " + text)[-budget:])
 
-# conditioning-context length buckets: ctx token counts truncate DOWN
-# to the largest bucket that fits (keeping the newest tokens — the same
-# tail-truncation direction whisper's own n_text_ctx//2 budget applies).
-# Without this every growth of the conditioning text (a streaming
-# session's committed transcript, or each seek-loop window) is a new
-# prompt length == a new compiled program — minutes of XLA compile per
-# tick on small hosts. Below the smallest bucket conditioning is
-# dropped entirely (a <8-token context carries negligible signal and
-# would otherwise churn 7 more shapes).
+    # conditioning-context length buckets for GROWING contexts: ctx
+    # token counts truncate DOWN to the largest bucket that fits
+    # (keeping the newest tokens — the same tail-truncation direction
+    # whisper's own n_text_ctx//2 budget applies to previous-output
+    # conditioning). Without this every growth of the conditioning text
+    # (a streaming session's committed transcript, or each seek-loop
+    # window) is a new prompt length == a new compiled program —
+    # minutes of XLA compile per tick on small hosts. Below the
+    # smallest bucket conditioning is dropped entirely (a <8-token
+    # context carries negligible signal and would otherwise churn 7
+    # more shapes).
     _CTX_BUCKETS = (8, 16, 32, 64, 128)
 
     def _context_prefix(self, request: DecodeRequest) -> List[int]:
         """[sot_prev] + encoded initial_prompt/hotwords, truncated to half
         the text context (whisper conditioning semantics; reference
-        faster_whisper `initial_prompt`/`hotwords` options), then DOWN to
-        a bucketed length (see _CTX_BUCKETS) so conditioned streams hit
-        a bounded set of compiled prompt shapes."""
+        faster_whisper `initial_prompt`/`hotwords` options).
+
+        Bucketing down to _CTX_BUCKETS lengths applies ONLY to
+        internally-injected growing contexts (the streaming committed
+        transcript, seek-loop windows — marked ``_cond_ctx`` by their
+        injectors): those re-grow every tick and would otherwise compile
+        a new prompt shape per growth, and dropping their OLDEST tokens
+        is exactly whisper's own previous-output conditioning rule. A
+        user-supplied initial_prompt/hotwords on an ordinary request is
+        fixed text — one stable shape, no churn — and every token the
+        budget admits is kept (truncating a user's hotword list would
+        silently regress recognition of the dropped terms)."""
         text = str(
             request.options.get("initial_prompt")
             or request.options.get("hotwords")
@@ -1548,7 +1570,7 @@ class WhisperEngine:
         budget = self.config.n_text_ctx // 2 - 1
         ids = self.tokenizer.encode(" " + text)[-budget:]
         n = len(ids)
-        if n < budget:
+        if n < budget and request.options.get("_cond_ctx"):
             keep = 0
             for b in self._CTX_BUCKETS:
                 if n >= b:
@@ -1619,6 +1641,11 @@ class WhisperEngine:
             w_opts.pop("hotwords", None)
             if cond_text:
                 w_opts["initial_prompt"] = cond_text
+                if prev_text:
+                    # growing per-window context -> bucketed ctx shapes;
+                    # a first window carrying only the user's fixed
+                    # initial_prompt keeps its exact (stable) length
+                    w_opts["_cond_ctx"] = True
             else:
                 w_opts.pop("initial_prompt", None)
             if prefix_once is not None and seek == 0:
@@ -1920,8 +1947,16 @@ class WhisperEngine:
             # through its own exec-table entry when the boot prewarm
             # (include_drafted) or a previous load compiled it
             use_enc_tab = enc_key in self._serve_exec and self._exec_usable()
+            # the prompt SHAPE must match what the drafted executable was
+            # compiled for: lang_pos == 1 alone does not imply the
+            # canonical p_len (a `prefix` option appends tokens AFTER the
+            # task token, growing p_len while lang_pos stays 1) — without
+            # the p_len guard such a request would call the executable
+            # with a wider prompt, fail, and evict the SHARED enc/draft
+            # entries for every later request at this (bucket, batch)
             use_draft_tab = (
                 lang_pos == 1 and sb
+                and p_len == len(W.build_prompt(self.config, "en"))
                 and draft_key in self._serve_exec and self._exec_usable()
             )
             try:
@@ -2108,11 +2143,15 @@ class WhisperEngine:
                 1 for t in group
                 if t.draft is not None and len(t.draft) > 0
             )
-            st = self.draft_stats
             n_acc = int(accepted[: len(group)].sum())
-            st["rows"] += rows_with
-            st["offered"] += offered
-            st["accepted"] += n_acc
+            # harvest runs concurrently (harvester thread, transcribe_sync
+            # callers, long-final pool) — the read-modify-write must be
+            # locked or concurrent groups lose increments
+            with self._drafts_lock:
+                st = self.draft_stats
+                st["rows"] += rows_with
+                st["offered"] += offered
+                st["accepted"] += n_acc
             if self._metrics is not None:
                 self._metrics.record_draft_verify(rows_with, offered, n_acc)
         # resolve on-device-detected languages from the packed tail columns

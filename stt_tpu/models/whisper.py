@@ -1242,6 +1242,16 @@ def greedy_decode_drafted(
     :func:`greedy_decode` on the same inputs for ANY draft — the draft
     only moves work between the parallel and sequential phases.
 
+    Precision caveat: "identical" is exact up to matmul accumulation
+    order. The M=width verify pass and the M=1 sequential step compute
+    the same logits through different tilings; in bf16 a near-tie
+    between the top-2 tokens (|delta| under the accumulation-order
+    epsilon) can argmax differently, so a drafted decode on real TPU
+    bf16 may rarely diverge from plain greedy at such ties — the same
+    class of benign flip any batch-size or layout change produces. The
+    parity tests (tests/test_draft_decode.py) prove the ALGORITHM exact
+    in f32; there is no semantic (non-tie) divergence path.
+
     Reference role: the speed side of faster_whisper's streaming
     partials (the reference re-decodes from scratch; this is strictly
     additional). draft: (B, D) int32, eot-padded past ``draft_len``;

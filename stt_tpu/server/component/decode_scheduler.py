@@ -321,6 +321,9 @@ class DecodeStream:
             if committed and not decode_options.get("initial_prompt"):
                 decode_options = dict(decode_options)
                 decode_options["initial_prompt"] = committed[-400:]
+                # grows every commit -> the engine buckets its token
+                # count so the stream hits a bounded set of prompt shapes
+                decode_options["_cond_ctx"] = True
         future = self.scheduler.submit_fn(
             self.model_id,
             self.session_id or "unknown",

@@ -327,10 +327,13 @@ def test_engine_final_evicts_draft(draft_engine):
 
     audio = _audio(seed=12)
     sid = "drafts2"
-    draft_engine.transcribe_sync(DecodeRequest(
+    p1 = draft_engine.transcribe_sync(DecodeRequest(
         audio=audio, language="en", is_final=False, session_id=sid,
     ))
-    assert len(draft_engine._draft_get(sid)) > 0 or True  # stored (may be 0-gen)
+    # precondition: the partial actually stored its generated tokens as
+    # the session draft (eviction below would otherwise pass vacuously)
+    assert len(draft_engine._draft_get(sid)) == p1._n_gen
+    assert p1._n_gen > 0, "fixture audio generated no tokens"
     draft_engine.transcribe_sync(DecodeRequest(
         audio=audio, language="en", is_final=True, session_id=sid,
     ))
@@ -391,6 +394,49 @@ def test_engine_drafted_exec_table_roundtrip(tmp_path, monkeypatch):
         eng.close()
 
 
+def test_engine_drafted_prefix_skips_exec_table(tmp_path, monkeypatch):
+    """A drafted partial carrying a `prefix` option grows p_len while
+    lang_pos stays 1 — it must NOT be dispatched through the drafted
+    exec-table entry (compiled for the canonical prompt shape). Before
+    the p_len guard, the shape-mismatched call raised and permanently
+    evicted the SHARED enc/draft entries, degrading every later request
+    at that (bucket, batch) to a fresh jit compile."""
+    monkeypatch.setenv("STT_EXEC_CACHE_DIR", str(tmp_path))
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine(
+        "test", device="cpu", compute_type="float32",
+        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+        max_decode_tokens=32, batch_window_ms=10.0, max_batch=1,
+    )
+    try:
+        eng.prewarm(
+            bucket_secs=[1.0], batch_sizes=[1], mode="aot",
+            include_drafted=True,
+        )
+        dkey = eng._draft_exec_key(1.0, 1)
+        ekey = eng._enc_exec_key(1.0, 1)
+        assert dkey in eng._serve_exec and ekey in eng._serve_exec
+
+        audio = _audio(seed=77)
+        sid = "prefix-draft"
+        # first partial stores a draft; second partial (with a draft)
+        # carries `prefix`, widening the prompt beyond the canonical shape
+        eng.transcribe_sync(DecodeRequest(
+            audio=audio, language="en", is_final=False, session_id=sid,
+        ))
+        out = eng.transcribe_sync(DecodeRequest(
+            audio=audio, language="en", is_final=False, session_id=sid,
+            options={"prefix": "hello"},
+        ))
+        assert out.segments is not None
+        # the shared exec-table entries must survive the prefixed request
+        assert dkey in eng._serve_exec, "draft exec entry was evicted"
+        assert ekey in eng._serve_exec, "encoder exec entry was evicted"
+    finally:
+        eng.close()
+
+
 def test_engine_final_consumes_draft(draft_engine):
     """The utterance-final decode rides the drafted program when the
     session's last partial left a draft — token-identical to the plain
@@ -432,29 +478,43 @@ def test_engine_final_without_draft_stays_plain(draft_engine):
 
 
 def test_ctx_prefix_buckets(draft_engine):
-    """Conditioning ctx token counts truncate down to bucketed lengths
-    so a growing committed transcript cannot churn compiled shapes."""
+    """Internally-injected GROWING conditioning (_cond_ctx: the
+    committed transcript, seek windows) truncates down to bucketed
+    lengths so it cannot churn compiled shapes; a user-supplied
+    initial_prompt/hotwords keeps every token the whisper budget admits
+    (fixed text = one stable shape; dropping a user's hotwords would
+    silently regress recognition)."""
     from stt_tpu.engine.engine import DecodeRequest
 
     tok = draft_engine.tokenizer
 
-    def ctx_len(n_tokens):
+    def ctx_len(n_tokens, **extra):
         # build a text that encodes to >= n_tokens, then measure
         text = tok.decode(list(range(100, 100 + n_tokens)))
         req = DecodeRequest(
             audio=_audio(), language="en",
-            options={"initial_prompt": text},
+            options={"initial_prompt": text, **extra},
         )
         return len(draft_engine._context_prefix(req))
 
-    seen = {ctx_len(n) for n in (2, 9, 12, 20, 40, 70, 129, 200)}
+    budget = draft_engine.config.n_text_ctx // 2 - 1
+
+    # growing internal context: bucketed
+    seen = {ctx_len(n, _cond_ctx=True)
+            for n in (2, 9, 12, 20, 40, 70, 129, 200)}
     # every observed length is 1 + a bucket (the sot_prev slot) or 0
     allowed = {0} | {1 + b for b in draft_engine._CTX_BUCKETS} | {
-        1 + (draft_engine.config.n_text_ctx // 2 - 1)
+        1 + budget
     }
     assert seen <= allowed, (seen, allowed)
-    assert ctx_len(2) == 0          # below the smallest bucket: dropped
-    assert ctx_len(20) == 1 + 16    # truncated down to 16
+    assert ctx_len(2, _cond_ctx=True) == 0   # below smallest bucket: dropped
+    assert ctx_len(20, _cond_ctx=True) == 1 + 16  # truncated down to 16
+
+    # user-supplied conditioning: exact token count up to the budget
+    for n in (2, 20, 100):
+        got = ctx_len(n)
+        assert got >= 1 + min(n, budget) - 1, (n, got)  # nothing bucketed away
+    assert ctx_len(300) == 1 + budget        # whisper budget still applies
 
 
 def test_seek_windows_bypass_draft_store(draft_engine):
