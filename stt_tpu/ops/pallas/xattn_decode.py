@@ -145,9 +145,10 @@ def _row_group(b: int, h: int, ta: int, dh: int, itemsize: int) -> int:
     return g
 
 
-@partial(jax.jit, static_argnames=("interpret", "variant"))
+@partial(jax.jit, static_argnames=("interpret", "variant",
+                                   "rows_per_block"))
 def xattn_decode(q, k, v, *, interpret: bool = False,
-                 variant: str = "vpu"):
+                 variant: str = "vpu", rows_per_block: int = 0):
     """Single-position cross-attention over precomputed K/V.
 
     q: (B, H, Dh) — query for ONE decode position, pre-scaled by
@@ -156,6 +157,11 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
     variant: "mm" (merged-head matmul + diagonal mask), "vpu"
        (elementwise multiply+reduce, row-grouped grid) or "mxu"
        (first attempt: per-head M=1 dots, kept for A/B history).
+    rows_per_block: override the per-grid-step row group G (must divide
+       B; 0 = auto). For "mm" G trades MXU redundancy (the masked
+       (G*H, G*H) column block) against DMA pipeline depth — the A/B
+       harness sweeps it; auto-G is a VMEM-bound guess, not a tuned
+       optimum.
     Returns (B, H, Dh) float32.
     """
     b, h, dh = q.shape
@@ -174,6 +180,12 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
     else:
         g = _row_group(b, h, ta, dh, jnp.dtype(k.dtype).itemsize)
         kernel = _xattn_kernel_vpu
+    if rows_per_block:
+        if b % rows_per_block:
+            raise ValueError(
+                f"rows_per_block={rows_per_block} must divide B={b}"
+            )
+        g = rows_per_block
     params = None
     if variant == "mm":
         # the merged f32 score/weight buffers exceed Mosaic's default

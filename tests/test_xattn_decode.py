@@ -46,6 +46,22 @@ def test_interpret_matches_einsum(dtype, variant):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("rows", [1, 2, 4])
+def test_interpret_mm_rows_per_block_override(rows):
+    """Explicit G override (the A/B harness `mm@G` sweep) stays
+    parity-exact with the einsum reference; a non-divisor raises."""
+    q, k, v = _inputs(jnp.bfloat16, b=4)
+    out = np.asarray(xattn_decode(q, k, v, interpret=True, variant="mm",
+                                  rows_per_block=rows))
+    ref = np.asarray(
+        W._attn_cached(q[:, :, None, :], k, v)[:, :, 0, :]
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    with pytest.raises(ValueError):
+        xattn_decode(q, k, v, interpret=True, variant="mm",
+                     rows_per_block=3)
+
+
 def test_vpu_row_group_divides_batch():
     """Row-group picker returns a divisor of B under the VMEM budget
     for the serving shapes (64 rows x 12 heads x 500 frames)."""

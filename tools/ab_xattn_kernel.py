@@ -105,18 +105,22 @@ def main():
 
         return run
 
-    ops = {
-        "einsum": lambda q, kk_, vv_: _attn_cached(
-            q[:, :, None, :], kk_, vv_
-        )[:, :, 0, :],
-        "vpu": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="vpu"),
-        "mxu": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="mxu"),
-        "mm": lambda q, kk_, vv_: xattn_decode(q, kk_, vv_, variant="mm"),
-    }
+    def op_for(name):
+        # "mm@4" = variant mm with rows_per_block=4 (G sweep); bare
+        # names use the variant's auto G
+        if name == "einsum":
+            return lambda q, kk_, vv_: _attn_cached(
+                q[:, :, None, :], kk_, vv_
+            )[:, :, 0, :]
+        variant, _, g = name.partition("@")
+        rows = int(g) if g else 0
+        return lambda q, kk_, vv_: xattn_decode(
+            q, kk_, vv_, variant=variant, rows_per_block=rows
+        )
 
     results = {}
     for name in [x.strip() for x in args.variants.split(",") if x.strip()]:
-        run = build(ops[name])
+        run = build(op_for(name))
         t0 = time.monotonic()
         compiled = run.lower(q0, k, v).compile()
         log(f"{name}: compile {time.monotonic() - t0:.1f}s")
