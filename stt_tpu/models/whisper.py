@@ -800,7 +800,8 @@ def _decoder_step(
             from ..ops.pallas.xattn_decode import xattn_decode
 
             variant = (
-                XATTN_KERNEL if XATTN_KERNEL in ("mxu", "vpu", "mm")
+                XATTN_KERNEL if XATTN_KERNEL in ("mxu", "vpu", "mm",
+                                                 "mmd")
                 else "mm"
             )
             x_out = xattn_decode(

@@ -133,6 +133,42 @@ def _xattn_kernel_mm(q_ref, k_ref, v_ref, o_ref):
     o_ref[...] = y.reshape(g, h, dh)
 
 
+def _xattn_kernel_mmd(q_ref, k_ref, v_ref, o_ref):
+    """"mm" with the diagonal extracted BEFORE the softmax: the mm
+    variant exponentiates the full lane-padded (GH, Ta, 128) score
+    block although only the j == r diagonal survives the mask — ~128x
+    redundant transcendental VPU work per step. Here the diagonal is
+    reduced out first (one multiply+lane-reduce pass), the softmax runs
+    on the tiny (GH, Ta) plane, and the weights are scattered back onto
+    the diagonal for the MXU mix matmul. Numerically identical to
+    "mm" (the masked softmax's max/sum see exactly the diagonal
+    scores)."""
+    g, h, dh = q_ref.shape
+    ta = k_ref.shape[2]
+    gh = g * h
+    k2 = k_ref[...].astype(jnp.bfloat16).reshape(gh * ta, dh)
+    q2 = q_ref[...].astype(jnp.bfloat16).reshape(gh, dh)
+    s = jax.lax.dot_general(                       # (gh*ta, gh) f32
+        k2, q2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(gh, ta, gh)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (gh, 1, gh), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (gh, 1, gh), 2)
+    )
+    sd = jnp.sum(s * eye.astype(s.dtype), axis=2)  # (gh, ta) diag scores
+    m = jnp.max(sd, axis=1, keepdims=True)
+    p = jnp.exp(sd - m)
+    w = p / jnp.sum(p, axis=1, keepdims=True)      # (gh, ta)
+    wt = (w[:, :, None] * eye.astype(w.dtype)).astype(jnp.bfloat16)
+    v2 = v_ref[...].astype(jnp.bfloat16).reshape(gh * ta, dh)
+    y = jax.lax.dot_general(                       # (gh, dh) f32
+        wt.reshape(gh * ta, gh), v2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = y.reshape(g, h, dh)
+
+
 def _row_group(b: int, h: int, ta: int, dh: int, itemsize: int) -> int:
     """Rows per grid step: largest divisor of B whose double-buffered
     K+V block stays under ~8 MB of VMEM (v5e VMEM is 128 MB; stay far
@@ -154,7 +190,8 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
     q: (B, H, Dh) — query for ONE decode position, pre-scaled by
        d_head**-0.25 (K arrives pre-scaled from precompute_cross_kv).
     k, v: (B, H, Ta, Dh) in their storage dtype.
-    variant: "mm" (merged-head matmul + diagonal mask), "vpu"
+    variant: "mm" (merged-head matmul + diagonal mask), "mmd" (mm with
+       the diagonal reduced out before the softmax), "vpu"
        (elementwise multiply+reduce, row-grouped grid) or "mxu"
        (first attempt: per-head M=1 dots, kept for A/B history).
     rows_per_block: override the per-grid-step row group G (must divide
@@ -168,7 +205,7 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
     ta = k.shape[2]
     if variant == "mxu":
         g, kernel = 1, _xattn_kernel
-    elif variant == "mm":
+    elif variant in ("mm", "mmd"):
         g = _row_group(b, h, ta, dh, jnp.dtype(k.dtype).itemsize)
         # the (G*H*Ta, G*H) f32 score/weight buffers (lane-padded to
         # 128) dominate VMEM for this variant — cap them at ~12 MB
@@ -176,7 +213,7 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
             g -= 1
             while b % g:
                 g -= 1
-        kernel = _xattn_kernel_mm
+        kernel = _xattn_kernel_mm if variant == "mm" else _xattn_kernel_mmd
     else:
         g = _row_group(b, h, ta, dh, jnp.dtype(k.dtype).itemsize)
         kernel = _xattn_kernel_vpu
@@ -187,7 +224,7 @@ def xattn_decode(q, k, v, *, interpret: bool = False,
             )
         g = rows_per_block
     params = None
-    if variant == "mm":
+    if variant in ("mm", "mmd"):
         # the merged f32 score/weight buffers exceed Mosaic's default
         # 16 MB scoped-vmem stack — raise the cap for this kernel
         params = pltpu.CompilerParams(

@@ -33,7 +33,7 @@ def test_policy_env_off(monkeypatch):
     assert not W._xattn_kernel_applicable()
 
 
-@pytest.mark.parametrize("variant", ["mxu", "vpu", "mm"])
+@pytest.mark.parametrize("variant", ["mxu", "vpu", "mm", "mmd"])
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
 def test_interpret_matches_einsum(dtype, variant):
     """Interpret-mode kernel vs the _attn_cached einsum reference."""
@@ -76,7 +76,7 @@ def test_vpu_row_group_divides_batch():
 @pytest.mark.skipif(
     jax.default_backend() == "cpu", reason="needs a TPU device"
 )
-@pytest.mark.parametrize("variant", ["mxu", "vpu", "mm"])
+@pytest.mark.parametrize("variant", ["mxu", "vpu", "mm", "mmd"])
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
 def test_compiled_matches_einsum_on_tpu(dtype, variant):
     q, k, v = _inputs(dtype, b=4, h=12, ta=500, dh=64)
