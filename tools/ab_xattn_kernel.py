@@ -8,7 +8,9 @@ loop-invariant hoisting). Per-step wall = total / steps; the HBM floor
 for the shape is 2*L*B*H*Ta*Dh bytes / 819 GB/s (v5e).
 
 Variants: einsum (the serving default, models/whisper._attn_cached),
-vpu (ops/pallas/xattn_decode variant="vpu"), mxu (first attempt).
+vpu / mxu / mm / mmd (ops/pallas/xattn_decode variants). "mm@G" /
+"mmd@G" pins rows_per_block=G for the block-size sweep (G must divide
+--b); bare names use the auto block size.
 
 Timing is fetch-based (np.asarray of a scalar), not block_until_ready —
 the axon tunnel makes block_until_ready unreliable (ROADMAP round-3
