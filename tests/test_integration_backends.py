@@ -357,3 +357,117 @@ def test_real_weights_mulaw_wire_parity(monkeypatch):
         f"STT_AUDIO_WIRE=int16 in this deployment:\n"
         f"  mulaw: {texts['mulaw']!r}\n  int16: {texts['int16']!r}"
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STT_WEIGHTS_DIR"),
+    reason="real-weights int8 decoder-weight parity gate: set "
+           "STT_WEIGHTS_DIR (see test_real_weights_accuracy)",
+)
+def test_real_weights_int8_decoder_weights_parity(monkeypatch):
+    """int8 decoder-weight storage (STT_DECODER_WEIGHTS_DTYPE=int8)
+    halves the per-step weight stream — the second-largest HBM term
+    after the cross-KV. Hermetic CI bounds its logits delta on random
+    weights (tests/test_quant_weights.py); THIS gate is the promotion
+    bar ROADMAP names: on a real checkpoint the transcript must match
+    bf16 weights (real logit margins dwarf the measured 3.4% delta)."""
+    import importlib
+    import wave
+
+    weights = os.environ["STT_WEIGHTS_DIR"]
+    fixture = os.environ.get("STT_SPEECH_FIXTURE")
+    if fixture:
+        with wave.open(fixture, "rb") as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        audio = pcm.astype(np.float32) / 32768.0
+    else:
+        rng = np.random.default_rng(3)
+        audio = (0.05 * rng.standard_normal(16000)).astype(np.float32)
+
+    texts = {}
+    for mode in ("int8", "bf16"):
+        monkeypatch.setenv("STT_DECODER_WEIGHTS_DTYPE", mode)
+        import stt_tpu.models.whisper as W_mod
+
+        importlib.reload(W_mod)  # re-read the weight-storage policy
+        from stt_tpu.backends.jax_whisper import JaxWhisperBackend
+
+        backend = JaxWhisperBackend(
+            "tiny", "cpu", "bfloat16", weights_path=weights,
+            audio_buckets_sec=(30.0,), batch_buckets=(1,),
+        )
+        try:
+            segments, _ = backend.transcribe(audio, {"language": "en"})
+            texts[mode] = " ".join(s.text for s in segments).strip()
+        finally:
+            backend.close()
+    monkeypatch.delenv("STT_DECODER_WEIGHTS_DTYPE")
+    importlib.reload(importlib.import_module("stt_tpu.models.whisper"))
+    assert texts["int8"] == texts["bf16"], (
+        "int8 decoder weights changed the transcript on real weights - "
+        "keep STT_DECODER_WEIGHTS_DTYPE=bf16 in this deployment:\n"
+        f"  int8: {texts['int8']!r}\n  bf16: {texts['bf16']!r}"
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STT_WEIGHTS_DIR"),
+    reason="real-weights drafted-partial parity gate: set "
+           "STT_WEIGHTS_DIR (see test_real_weights_accuracy)",
+)
+def test_real_weights_drafted_partials_parity():
+    """Partial-draft verification (default on) is token-identical to
+    plain greedy by construction — proven exhaustively on synthetic
+    models in tests/test_draft_decode.py, exact up to benign bf16
+    near-tie argmax flips. This gate proves the END-TO-END streaming
+    profile on a real checkpoint: successive growing-buffer partial
+    ticks with drafts enabled must produce the same transcripts as the
+    same ticks through the plain program (session-less requests never
+    route to the drafted program)."""
+    import wave
+
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    weights = os.environ["STT_WEIGHTS_DIR"]
+    fixture = os.environ.get("STT_SPEECH_FIXTURE")
+    if fixture:
+        with wave.open(fixture, "rb") as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        audio = pcm.astype(np.float32) / 32768.0
+    else:
+        rng = np.random.default_rng(3)
+        audio = (0.05 * rng.standard_normal(32000)).astype(np.float32)
+
+    engine = WhisperEngine(
+        "tiny", device="cpu", compute_type="bfloat16", max_batch=2,
+        weights_path=weights, batch_buckets=(1, 2),
+    )
+    engine.start()
+    try:
+        n = len(audio)
+        ticks = [int(n * f) for f in (0.6, 0.8, 1.0)]
+
+        def run(session_id):
+            out = []
+            for ln in ticks:
+                res = engine.transcribe_sync(DecodeRequest(
+                    audio=audio[:ln], language="en", is_final=False,
+                    session_id=session_id,
+                ))
+                out.append(
+                    " ".join(s.text for s in res.segments).strip()
+                )
+            return out
+
+        drafted = run("parity_session")  # routes to the drafted program
+        offered = engine.draft_stats["offered"]
+        plain = run("")                  # session-less: plain program
+        assert offered > 0, (
+            "drafted ticks never offered a draft - routing regression"
+        )
+        assert drafted == plain, (
+            "drafted partials diverged from plain greedy on real "
+            f"weights:\n  drafted: {drafted!r}\n  plain:   {plain!r}"
+        )
+    finally:
+        engine.close()

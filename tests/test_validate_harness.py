@@ -1,0 +1,73 @@
+"""The real-artifact validation harness (tools/validate_real_weights.py)
+must stay runnable and honest in CI even though CI has no real
+artifacts: every gate is listed as SKIPPED (never silently dropped)
+and every gate's pytest node id must still exist — a renamed test
+would otherwise turn a deployment's accuracy gate into a no-op.
+
+Reference role: the always-on real-checkpoint CI decode
+(/root/reference/tests/test_integration_backends.py:28-133), which a
+zero-egress build can only honor through this deployment-side harness.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    for key in ("STT_WEIGHTS_DIR", "STT_SILERO_ONNX",
+                "STT_SPEECH_FIXTURE", "STT_FIXTURE_TEXT"):
+        env.pop(key, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_harness_lists_all_gates_skipped_without_artifacts(tmp_path):
+    report_path = tmp_path / "report.json"
+    proc = subprocess.run(
+        [sys.executable, "tools/validate_real_weights.py",
+         "--report", str(report_path)],
+        cwd=str(REPO), env=_clean_env(), capture_output=True, text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    report = json.loads(report_path.read_text())
+    assert report["verdict"] == "NOTHING_RUN"
+    assert report["failed"] == 0 and report["passed"] == 0
+    gates = {g["gate"]: g for g in report["gates"]}
+    expected = {
+        "tokenizer_and_accuracy", "fp8_cross_kv_parity",
+        "mulaw_wire_parity", "int8_decoder_weights_parity",
+        "drafted_partials_parity", "silero_end_to_end",
+    }
+    assert expected <= set(gates), sorted(gates)
+    for name in expected:
+        assert gates[name]["status"] == "SKIPPED"
+        assert "missing" in gates[name]["reason"]
+
+
+def test_harness_gate_node_ids_exist():
+    """Every MATRIX node id must still collect — the gate names are the
+    contract between the harness and the test files."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from validate_real_weights import MATRIX
+    finally:
+        sys.path.pop(0)
+    nodes = [node for _, node, _, _ in MATRIX]
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q",
+         "-p", "no:cacheprovider", *nodes],
+        cwd=str(REPO), env=_clean_env(), capture_output=True, text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, (
+        "a harness gate's pytest node id no longer exists:\n"
+        + proc.stdout[-2000:] + proc.stderr[-2000:]
+    )

@@ -1,0 +1,200 @@
+"""One-command real-artifact validation harness.
+
+Zero-egress CI proves this framework's control plane, numerics and
+program structure on synthetic weights, but real checkpoints, real
+Silero exports and recorded speech cannot ship in the image — the
+accuracy gates live as env-gated tests that CI lists as skipped. The
+reference instead decodes real audio on real tiny weights in every CI
+run (/root/reference/tests/test_integration_backends.py:28-133); this
+harness is the honest substitute: ONE command a real deployment runs
+to prove everything at once.
+
+    python tools/validate_real_weights.py \
+        --weights-dir /path/to/whisper-tiny \
+        [--silero-onnx /path/to/silero_vad.onnx] \
+        [--fixture /path/to/hello.wav --fixture-text "hello"] \
+        [--report validation_report.json]
+
+It runs the full gated matrix — tokenizer + transcript accuracy,
+fp8 cross-KV A/B, mu-law wire A/B, int8 decoder-weights A/B,
+drafted-vs-plain partial parity, Silero end-to-end — each as its own
+pytest subprocess (the A/Bs reload env-traced module policies, so
+isolation keeps them honest), and writes a pass/fail report. Exit 0
+iff nothing FAILED; gates whose artifact was not provided are listed
+as SKIPPED, never silently dropped. Without any arguments (CI mode)
+every gate is SKIPPED and the harness still exercises its own
+plumbing end-to-end.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+# the gated matrix: (name, pytest node id, required env keys, what it proves)
+MATRIX = [
+    (
+        "tokenizer_and_accuracy",
+        "tests/test_integration_backends.py::test_real_weights_accuracy",
+        ["STT_WEIGHTS_DIR"],
+        "checkpoint loads with a real tokenizer; fixture transcript "
+        "contains the expected words",
+    ),
+    (
+        "fp8_cross_kv_parity",
+        "tests/test_integration_backends.py::"
+        "test_real_weights_fp8_cross_kv_parity",
+        ["STT_WEIGHTS_DIR"],
+        "fp8 cross-KV storage (serving default) keeps transcripts "
+        "identical to bf16 on the real checkpoint",
+    ),
+    (
+        "mulaw_wire_parity",
+        "tests/test_integration_backends.py::"
+        "test_real_weights_mulaw_wire_parity",
+        ["STT_WEIGHTS_DIR"],
+        "the 8-bit mu-law audio wire (serving default) keeps transcripts "
+        "identical to the lossless int16 wire",
+    ),
+    (
+        "int8_decoder_weights_parity",
+        "tests/test_integration_backends.py::"
+        "test_real_weights_int8_decoder_weights_parity",
+        ["STT_WEIGHTS_DIR"],
+        "int8 decoder-weight storage keeps transcripts identical to "
+        "bf16 weights (the ROADMAP promotion bar for the flag)",
+    ),
+    (
+        "drafted_partials_parity",
+        "tests/test_integration_backends.py::"
+        "test_real_weights_drafted_partials_parity",
+        ["STT_WEIGHTS_DIR"],
+        "partial-draft verification produces the same streaming "
+        "transcripts as the plain greedy program",
+    ),
+    (
+        "silero_end_to_end",
+        "tests/test_onnx_jax.py::test_real_silero_export_end_to_end",
+        ["STT_SILERO_ONNX"],
+        "the first-party ONNX executor runs the genuine silero_vad.onnx "
+        "and a VADGate endpoints on it",
+    ),
+]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    parser.add_argument("--weights-dir", default=os.environ.get("STT_WEIGHTS_DIR", ""),
+                        help="HF whisper checkpoint dir (config.json + "
+                             "safetensors/bin + tokenizer files)")
+    parser.add_argument("--silero-onnx",
+                        default=os.environ.get("STT_SILERO_ONNX", ""),
+                        help="path to the genuine silero_vad.onnx export")
+    parser.add_argument("--fixture",
+                        default=os.environ.get("STT_SPEECH_FIXTURE", ""),
+                        help="16 kHz mono WAV with known content")
+    parser.add_argument("--fixture-text",
+                        default=os.environ.get("STT_FIXTURE_TEXT", ""),
+                        help="words the fixture transcript must contain")
+    parser.add_argument("--report", default="validation_report.json",
+                        help="where to write the JSON report "
+                             "('-' for stdout only)")
+    parser.add_argument("--timeout", type=float, default=900.0,
+                        help="per-gate subprocess timeout (seconds)")
+    args = parser.parse_args()
+
+    env = dict(os.environ)
+    # accuracy gates are numerics checks, not perf: run them on the CPU
+    # backend so the harness works on any host (and never dials a TPU
+    # tunnel); override by exporting JAX_PLATFORMS yourself
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    env["STT_SKIP_INTEGRATION"] = "0"
+    for key, val in (
+        ("STT_WEIGHTS_DIR", args.weights_dir),
+        ("STT_SILERO_ONNX", args.silero_onnx),
+        ("STT_SPEECH_FIXTURE", args.fixture),
+        ("STT_FIXTURE_TEXT", args.fixture_text),
+    ):
+        if val:
+            env[key] = val
+        else:
+            env.pop(key, None)
+
+    results = []
+    for name, node, requires, proves in MATRIX:
+        missing = [k for k in requires if not env.get(k)]
+        if missing:
+            results.append({
+                "gate": name, "status": "SKIPPED",
+                "reason": f"missing {', '.join(missing)}",
+                "proves": proves,
+            })
+            print(f"SKIP  {name}: missing {', '.join(missing)}",
+                  flush=True)
+            continue
+        print(f"RUN   {name} ...", flush=True)
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", node, "-q",
+                 "--no-header", "-p", "no:cacheprovider"],
+                cwd=str(REPO), env=env, capture_output=True, text=True,
+                timeout=args.timeout,
+            )
+            wall = time.monotonic() - t0
+            tail = (proc.stdout + proc.stderr).strip().splitlines()[-25:]
+            if proc.returncode == 0:
+                status = "PASS"
+            elif proc.returncode == 5 or " skipped" in proc.stdout:
+                # the test itself skipped (env vanished mid-run?) — do
+                # not count a skip as proof
+                status = "SKIPPED"
+            else:
+                status = "FAIL"
+            results.append({
+                "gate": name, "status": status,
+                "wall_s": round(wall, 1), "proves": proves,
+                **({} if status == "PASS" else {"output_tail": tail}),
+            })
+        except subprocess.TimeoutExpired:
+            results.append({
+                "gate": name, "status": "FAIL",
+                "wall_s": round(time.monotonic() - t0, 1),
+                "reason": f"timed out after {args.timeout:.0f}s",
+                "proves": proves,
+            })
+        print(f"{results[-1]['status']:5s} {name} "
+              f"({results[-1].get('wall_s', 0)}s)", flush=True)
+
+    n_pass = sum(1 for r in results if r["status"] == "PASS")
+    n_fail = sum(1 for r in results if r["status"] == "FAIL")
+    n_skip = sum(1 for r in results if r["status"] == "SKIPPED")
+    report = {
+        "weights_dir": args.weights_dir or None,
+        "silero_onnx": args.silero_onnx or None,
+        "fixture": args.fixture or None,
+        "passed": n_pass, "failed": n_fail, "skipped": n_skip,
+        "verdict": "FAIL" if n_fail else (
+            "PASS" if n_pass else "NOTHING_RUN"
+        ),
+        "gates": results,
+    }
+    text = json.dumps(report, indent=2)
+    if args.report and args.report != "-":
+        Path(args.report).write_text(text + "\n")
+        print(f"report written to {args.report}")
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped "
+          f"-> {report['verdict']}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
