@@ -400,14 +400,18 @@ def main() -> None:
         log(f"RTFx at {streams2} streams: {rtfx2:.1f}x "
             f"(median of {len(walls2)} steady rounds)")
 
-        # secondary: drafted-partial streaming acceptance (the realistic
-        # profile: per-session growing buffer within the same bucket, the
-        # previous tick's tokens drafting the next — VERDICT r3 weak #4)
-        from stt_tpu.engine import engine as engine_mod
-
+        # secondary: streaming-partial acceptance profile (per-session
+        # growing buffer within the same bucket — VERDICT r3 weak #4).
+        # Under the adaptive default the ticks route plain and the
+        # engine measures the HYPOTHETICAL acceptance for free (LCP of
+        # consecutive token streams); if the EMA engages mid-run the
+        # later ticks ride the drafted program and the live counters
+        # take over — either way the combined rate is the number that
+        # decides engagement in production.
         draft_rate = None
         draft_tick_ms = None
-        if engine_mod.DRAFT_PARTIALS:
+        draft_engaged = None
+        if engine._draft_mode != "off":
             n_ticks = 5
             grow0 = int(0.85 * len(audio))
             step = (len(audio) - grow0) // (n_ticks - 1)
@@ -427,16 +431,20 @@ def main() -> None:
                     f.result()
                 tick_walls.append(time.perf_counter() - tw)
             stats1 = dict(engine.draft_stats)
-            offered = stats1["offered"] - stats0["offered"]
-            accepted = stats1["accepted"] - stats0["accepted"]
+            offered = (stats1["offered"] - stats0["offered"]
+                       + stats1["hyp_offered"] - stats0["hyp_offered"])
+            accepted = (stats1["accepted"] - stats0["accepted"]
+                        + stats1["hyp_accepted"] - stats0["hyp_accepted"])
             if offered:
                 draft_rate = accepted / offered
+            draft_engaged = bool(stats1.get("engaged"))
             tick_walls = sorted(tick_walls[1:])  # first tick has no draft
             draft_tick_ms = tick_walls[len(tick_walls) // 2] * 1000
-            log(f"drafted partial ticks: accept_rate="
+            log(f"streaming partial ticks: accept_rate="
                 f"{draft_rate if draft_rate is None else round(draft_rate, 3)} "
-                f"median tick {draft_tick_ms:.0f}ms "
-                f"({args.streams} sessions/tick)")
+                f"engaged={draft_engaged} median tick {draft_tick_ms:.0f}ms "
+                f"({args.streams} sessions/tick, mode="
+                f"{engine._draft_mode})")
 
         # secondary: p95 single-request latency at the 1s partial bucket
         # (the streaming partial path; north star p95 < 300 ms)
@@ -469,6 +477,7 @@ def main() -> None:
             "draft_accept_rate": (
                 round(draft_rate, 3) if draft_rate is not None else None
             ),
+            "draft_engaged": draft_engaged,
             "draft_tick_median_ms": (
                 round(draft_tick_ms, 1) if draft_tick_ms is not None
                 else None

@@ -96,31 +96,52 @@ def _wire_dtype():
 # verified in ONE teacher-forced pass and greedy resumes per row from
 # the first mismatch (W.greedy_decode_drafted) — output token-identical
 # to plain greedy, but partial-heavy streaming pays the sequential
-# decode loop only for the NEW tokens each tick. Default on; set
-# STT_DRAFT_PARTIALS=off to route every partial through the plain
-# greedy program. (Selects WHICH program serves a group — the programs
-# themselves are fingerprint-covered via the traced source files.)
-DRAFT_PARTIALS = os.getenv(
-    "STT_DRAFT_PARTIALS", "on"
-).strip().lower() not in ("off", "0", "false", "no")
+# decode loop only for the NEW tokens each tick. Whether that trade
+# WINS depends on the draft acceptance rate: the round-4 device A/B
+# (tools/ab_draft_partials.py, 64x10 s whisper-small on v5e) measured
+# plain 0.82 s/wave vs drafted 0.496 s at acceptance 1.0 but 1.71 s at
+# acceptance 0 — break-even is ~0.73. STT_DRAFT_PARTIALS modes:
+# - "adaptive" (default): route partials through the PLAIN program
+#   while measuring the hypothetical acceptance for free on the host
+#   (LCP of consecutive partial token streams per session); engage the
+#   drafted program only while the fleet-wide acceptance EMA clears
+#   STT_DRAFT_ENGAGE (default 0.8; disengage below STT_DRAFT_DISENGAGE,
+#   default 0.7 — hysteresis). Engagement is engine-global so partials
+#   always form ONE batch group.
+# - "on": always route eligible partials through the drafted program
+#   (the round-3 behavior; right when acceptance is known-high).
+# - "off": never.
+# (Selects WHICH program serves a group — the programs themselves are
+# fingerprint-covered via the traced source files.)
+_draft_env = os.getenv("STT_DRAFT_PARTIALS", "adaptive").strip().lower()
+if _draft_env in ("off", "0", "false", "no"):
+    DRAFT_MODE = "off"
+elif _draft_env in ("adaptive", "auto"):
+    DRAFT_MODE = "adaptive"
+else:
+    DRAFT_MODE = "on"
+# back-compat alias: any mode that can reach the drafted program
+DRAFT_PARTIALS = DRAFT_MODE != "off"
 
 _EMPTY_DRAFT = np.zeros((0,), np.int32)
 
 
-def _draft_option_ok(request: "DecodeRequest") -> bool:
+def _draft_option_ok(request: "DecodeRequest", mode: str = "on") -> bool:
     """Requests the drafted greedy program can serve exactly: greedy
     (beam 1), no timestamp grammar, no rep-penalty/ngram state (those
     route through the stateful loop variants), a primary greedy rung,
     and a real session id to correlate ticks under.
 
-    Routing policy (engine `_process`/`_run_group`): PARTIALS always
-    ride the drafted program (a session's first tick just has
+    Routing policy (engine `_process`/`_run_group`): eligible PARTIALS
+    ride the drafted program when the mode routes them there (always
+    under "on"; under "adaptive" only while the acceptance EMA is
+    engaged — see `_attach_draft`); a session's first tick just has
     draft_len 0 — keeping them in one batch group preserves
-    micro-batching); FINALS join only when a non-empty draft exists —
+    micro-batching. FINALS join only when a non-empty draft exists —
     the last partial's tokens draft the utterance-final decode, the
     latency-critical moment of a stream — so batch-style workloads
     without partials never pay the verify pass."""
-    if not DRAFT_PARTIALS:
+    if mode == "off":
         return False
     if request.options.get("_seek_window"):
         # long-final seek windows decode DIFFERENT audio each iteration:
@@ -779,6 +800,7 @@ class WhisperEngine:
         pad_to_30s: bool = False,
         metrics=None,
         seed: int = 0,
+        draft_mode: Optional[str] = None,
     ) -> None:
         self.model_size = model_size
         self.device_kind = device
@@ -821,8 +843,33 @@ class WhisperEngine:
         self._drafts_cap = 2048
         # cumulative draft-verification stats (bench/metrics/tests):
         # rows that carried a non-empty draft, draft tokens offered,
-        # draft tokens accepted
-        self.draft_stats = {"rows": 0, "offered": 0, "accepted": 0}
+        # draft tokens accepted — plus the ADAPTIVE mode's free
+        # hypothetical counters (LCP of consecutive plain-routed partial
+        # token streams: what a draft WOULD have accepted) and the
+        # engagement state
+        self.draft_stats = {
+            "rows": 0, "offered": 0, "accepted": 0,
+            "hyp_offered": 0, "hyp_accepted": 0,
+            "ema": 0.0, "engaged": False,
+        }
+        # adaptive draft routing (see DRAFT_MODE): engine-global so all
+        # partials stay in one batch group. The EMA blends live
+        # acceptance (when engaged) and hypothetical acceptance (when
+        # plain); hysteresis thresholds derive from the measured
+        # break-even ~0.73 at the 64x10 s serving point (ROADMAP r4).
+        self._draft_mode = (draft_mode or DRAFT_MODE).strip().lower()
+        if self._draft_mode not in ("on", "off", "adaptive"):
+            raise ValueError(f"draft_mode must be on/off/adaptive, "
+                             f"got {self._draft_mode!r}")
+        self._draft_engage = float(os.getenv("STT_DRAFT_ENGAGE", "0.8"))
+        self._draft_disengage = float(
+            os.getenv("STT_DRAFT_DISENGAGE", "0.7")
+        )
+        self._draft_ema_alpha = 0.2
+        self._draft_min_obs = 3
+        self._draft_ema = 0.0
+        self._draft_obs = 0
+        self._draft_engaged = self._draft_mode == "on"
 
         t0 = time.monotonic()
         if weights_path:
@@ -900,8 +947,6 @@ class WhisperEngine:
         # opt-in XLA profiling (SURVEY.md §5: keep the phase taxonomy, add
         # jax.profiler hooks): STT_JAX_PROFILE_DIR=/path captures traces of
         # the first STT_JAX_PROFILE_BATCHES (default 3) decode batches.
-        import os
-
         self._profile_dir = os.getenv("STT_JAX_PROFILE_DIR") or None
         try:
             self._profile_batches = int(
@@ -1346,13 +1391,41 @@ class WhisperEngine:
             return arr
 
     def _attach_draft(self, task: _Task) -> None:
-        """Resolve draft routing for one task (see _draft_option_ok)."""
-        if task.draft is not None or not _draft_option_ok(task.request):
+        """Resolve draft routing for one task (see _draft_option_ok).
+        Under adaptive mode, eligible tasks route plain until the
+        acceptance EMA engages (the store still updates and the
+        hypothetical signal still accrues — see the harvest refresh)."""
+        if task.draft is not None or not _draft_option_ok(
+            task.request, self._draft_mode
+        ):
+            return
+        if self._draft_mode == "adaptive" and not self._draft_engaged:
             return
         draft = self._draft_get(task.request.session_id)
         if task.request.is_final and not len(draft):
             return  # finals without a draft stay on the plain program
         task.draft = draft
+
+    def _draft_observe_locked(self, offered: int, accepted: int) -> None:
+        """Fold one acceptance observation (live or hypothetical) into
+        the EMA and flip the adaptive engagement with hysteresis.
+        Caller holds self._drafts_lock."""
+        if offered <= 0:
+            return
+        frac = accepted / offered
+        self._draft_ema = (
+            frac if self._draft_obs == 0 else
+            (1.0 - self._draft_ema_alpha) * self._draft_ema
+            + self._draft_ema_alpha * frac
+        )
+        self._draft_obs += 1
+        if self._draft_mode == "adaptive" and self._draft_obs >= self._draft_min_obs:
+            if not self._draft_engaged and self._draft_ema >= self._draft_engage:
+                self._draft_engaged = True
+            elif self._draft_engaged and self._draft_ema < self._draft_disengage:
+                self._draft_engaged = False
+        self.draft_stats["ema"] = round(self._draft_ema, 4)
+        self.draft_stats["engaged"] = self._draft_engaged
 
     def _draft_put(self, session_id: str, tokens: np.ndarray) -> None:
         with self._drafts_lock:
@@ -2152,6 +2225,8 @@ class WhisperEngine:
                 st["rows"] += rows_with
                 st["offered"] += offered
                 st["accepted"] += n_acc
+                # live acceptance feeds the adaptive engagement EMA
+                self._draft_observe_locked(offered, n_acc)
             if self._metrics is not None:
                 self._metrics.record_draft_verify(rows_with, offered, n_acc)
         # resolve on-device-detected languages from the packed tail columns
@@ -2308,21 +2383,60 @@ class WhisperEngine:
 
         # refresh the per-session draft store: a partial's generated
         # tokens draft the session's NEXT partial; a final invalidates
-        # (the stream's buffer resets — the old transcript is stale)
+        # (the stream's buffer resets — the old transcript is stale).
+        # Eligible partials update the store REGARDLESS of routing so
+        # the adaptive mode can measure, for free on the host, what a
+        # draft would have accepted (LCP of consecutive token streams —
+        # exactly the drafted program's acceptance rule). The signal is
+        # folded into the EMA once per GROUP — per-row observations are
+        # far too noisy (a lucky run of high-LCP rows can cross the
+        # engage threshold while the true group acceptance sits at
+        # 0.27; measured on the 128-stream bench) and the live signal
+        # is per-group anyway.
+        hyp_cap = hyp_lcp = 0
         for i, task in enumerate(group):
             sid = task.request.session_id
             if not sid:
                 continue
             if task.request.is_final:
                 self._draft_evict(sid)
-            elif task.draft is not None:
+            elif task.draft is not None or _draft_option_ok(
+                task.request, self._draft_mode
+            ):
                 out = outputs[i]
                 if out._tokens is not None and out._n_gen >= 0:
                     gen = np.asarray(
                         out._tokens[out._p_len: out._p_len + out._n_gen],
                         np.int32,
                     )
+                    if (task.draft is None
+                            and self._draft_mode == "adaptive"):
+                        prev = self._draft_get(sid)
+                        cap = min(len(prev), ctx.get("max_new", len(prev)))
+                        if cap > 0:
+                            head = prev[:cap]
+                            neq = np.nonzero(
+                                head != gen[:cap]
+                                if len(gen) >= cap else
+                                np.concatenate([
+                                    head[: len(gen)] != gen,
+                                    np.ones(cap - len(gen), bool),
+                                ])
+                            )[0]
+                            hyp_cap += cap
+                            hyp_lcp += int(neq[0]) if len(neq) else cap
                     self._draft_put(sid, gen)
+        if hyp_cap > 0:
+            with self._drafts_lock:
+                st = self.draft_stats
+                st["hyp_offered"] += hyp_cap
+                st["hyp_accepted"] += hyp_lcp
+                self._draft_observe_locked(hyp_cap, hyp_lcp)
+            if self._metrics is not None:
+                self._metrics.record_draft_signal(
+                    hyp_cap, hyp_lcp, self._draft_ema,
+                    self._draft_engaged,
+                )
 
         elapsed = time.monotonic() - t_start
         if self._metrics is not None:

@@ -225,6 +225,18 @@ class Metrics:
             self._counters["draft_tokens_offered"] += offered
             self._counters["draft_tokens_accepted"] += accepted
 
+    def record_draft_signal(self, hyp_offered: int, hyp_accepted: int,
+                            ema: float, engaged: bool) -> None:
+        """Adaptive draft-routing signal: hypothetical acceptance
+        counters measured on plain-routed partials (host LCP of
+        consecutive token streams), plus the engagement EMA/state that
+        decides whether the drafted program is serving."""
+        with self._lock:
+            self._counters["draft_hyp_tokens_offered"] += hyp_offered
+            self._counters["draft_hyp_tokens_accepted"] += hyp_accepted
+            self._gauges["draft_accept_ema"] = float(ema)
+            self._gauges["draft_engaged"] = 1.0 if engaged else 0.0
+
     # -- VAD -------------------------------------------------------------------
 
     def record_vad_trigger(self) -> None:

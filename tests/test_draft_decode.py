@@ -285,6 +285,7 @@ def draft_engine():
         max_decode_tokens=32,
         batch_window_ms=20.0,
         max_batch=4,
+        draft_mode="on",
     )
     yield eng
     eng.close()
@@ -368,6 +369,7 @@ def test_engine_drafted_exec_table_roundtrip(tmp_path, monkeypatch):
         "test", device="cpu", compute_type="float32",
         audio_buckets_sec=(1.0,), batch_buckets=(1,),
         max_decode_tokens=32, batch_window_ms=10.0, max_batch=1,
+        draft_mode="on",
     )
     try:
         eng.prewarm(
@@ -408,6 +410,7 @@ def test_engine_drafted_prefix_skips_exec_table(tmp_path, monkeypatch):
         "test", device="cpu", compute_type="float32",
         audio_buckets_sec=(1.0,), batch_buckets=(1,),
         max_decode_tokens=32, batch_window_ms=10.0, max_batch=1,
+        draft_mode="on",
     )
     try:
         eng.prewarm(
@@ -561,3 +564,136 @@ def test_engine_drafted_auto_language(draft_engine):
     assert p1.info.language == base.info.language
     assert p2.info.language == base.info.language
     assert [s.text for s in p2.segments] == [s.text for s in base.segments]
+
+
+# ---------------------------------------------------------------------------
+# adaptive draft routing (the serving default): plain until the measured
+# acceptance EMA clears the engage threshold, with hysteresis
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_engine(**kw):
+    from stt_tpu.engine.engine import WhisperEngine
+
+    return WhisperEngine(
+        "test", device="cpu", compute_type="float32",
+        audio_buckets_sec=(1.0, 2.0), batch_buckets=(1, 2, 4),
+        max_decode_tokens=32, batch_window_ms=20.0, max_batch=4,
+        draft_mode="adaptive", **kw,
+    )
+
+
+def test_adaptive_starts_plain_and_engages_on_high_acceptance():
+    """Adaptive mode routes eligible partials through the PLAIN program
+    while the hypothetical acceptance signal (host LCP of consecutive
+    partial token streams) accrues; once the EMA clears the engage
+    threshold after min-obs observations, ticks ride the drafted
+    program (offered > 0)."""
+    from stt_tpu.engine.engine import DecodeRequest
+
+    eng = _adaptive_engine()
+    audio = _audio(seed=31)
+    try:
+        sid = "adapt1"
+
+        def tick():
+            return eng.transcribe_sync(DecodeRequest(
+                audio=audio, language="en", is_final=False, session_id=sid,
+            ))
+
+        p1 = tick()
+        assert p1._n_gen > 0, "micro model generated nothing"
+        # identical audio => identical tokens => hypothetical acceptance
+        # 1.0 per observation; min_obs=3 then engages
+        for i in range(4):
+            tick()
+            st = eng.draft_stats
+            assert st["offered"] == 0 or st["engaged"], (
+                f"drafted program ran before engagement at tick {i}: {st}"
+            )
+            if st["engaged"]:
+                break
+        st = dict(eng.draft_stats)
+        assert st["engaged"], st
+        assert st["hyp_offered"] > 0 and (
+            st["hyp_accepted"] == st["hyp_offered"]
+        ), st
+        before = dict(eng.draft_stats)
+        out = tick()  # now routed through the drafted program
+        after = dict(eng.draft_stats)
+        assert after["offered"] > before["offered"], (before, after)
+        assert after["accepted"] > before["accepted"]
+        # token-identical output either way
+        assert [s.text for s in out.segments] == [
+            s.text for s in p1.segments
+        ]
+    finally:
+        eng.close()
+
+
+def test_adaptive_disengages_on_low_acceptance():
+    """Once engaged, garbage drafts (forced via the store) drive the
+    live acceptance EMA below the disengage threshold and routing
+    returns to the plain program."""
+    import numpy as np
+
+    from stt_tpu.engine.engine import DecodeRequest
+
+    eng = _adaptive_engine()
+    audio = _audio(seed=32)
+    try:
+        sid = "adapt2"
+
+        def tick():
+            return eng.transcribe_sync(DecodeRequest(
+                audio=audio, language="en", is_final=False, session_id=sid,
+            ))
+
+        p1 = tick()
+        assert p1._n_gen > 1, "need a multi-token generation"
+        for _ in range(4):
+            tick()
+            if eng.draft_stats["engaged"]:
+                break
+        assert eng.draft_stats["engaged"]
+        # force mismatching drafts: live acceptance ~0 per tick
+        garbage = np.full(max(2, p1._n_gen), 77, np.int32)
+        for _ in range(8):
+            eng._draft_put(sid, garbage)
+            tick()
+            if not eng.draft_stats["engaged"]:
+                break
+        st = dict(eng.draft_stats)
+        assert not st["engaged"], st
+        # next tick routes plain again: offered frozen, hyp keeps moving
+        before = dict(eng.draft_stats)
+        tick()
+        tick()
+        after = dict(eng.draft_stats)
+        assert after["offered"] == before["offered"], (before, after)
+        assert after["hyp_offered"] > before["hyp_offered"]
+    finally:
+        eng.close()
+
+
+def test_adaptive_mode_off_never_stores_or_routes():
+    from stt_tpu.engine.engine import DecodeRequest, WhisperEngine
+
+    eng = WhisperEngine(
+        "test", device="cpu", compute_type="float32",
+        audio_buckets_sec=(1.0,), batch_buckets=(1,),
+        max_decode_tokens=16, batch_window_ms=0.0, max_batch=1,
+        draft_mode="off",
+    )
+    audio = _audio(seed=33)
+    try:
+        for _ in range(3):
+            eng.transcribe_sync(DecodeRequest(
+                audio=audio, language="en", is_final=False,
+                session_id="off1",
+            ))
+        st = dict(eng.draft_stats)
+        assert st["offered"] == 0 and st["hyp_offered"] == 0, st
+        assert len(eng._draft_get("off1")) == 0
+    finally:
+        eng.close()

@@ -94,6 +94,9 @@ def main() -> None:
         max_batch=args.streams,
         batch_window_ms=5.0,
         batch_buckets=(1, 2, 4, 8, 16, 32, 64),
+        # this harness MEASURES the drafted path; the serving default is
+        # adaptive (routes plain until the acceptance EMA engages)
+        draft_mode="on",
     )
     engine.start()
     rng = np.random.default_rng(0)
