@@ -424,6 +424,7 @@ class ModelRegistry:
                         "max_batch",
                         "use_pallas",
                         "pad_to_30s",
+                        "draft_mode",
                     )
                     if k in options
                 }
@@ -478,8 +479,6 @@ class ModelRegistry:
                 beams = sorted({
                     max(1, min(int(bm), 8)) for bm in (prewarm_beams or [1])
                 })
-                from .engine import DRAFT_PARTIALS
-
                 for eng in engines:
                     eng.prewarm(
                         batch_sizes=sizes, include_detect=True,
@@ -487,8 +486,10 @@ class ModelRegistry:
                         mode=prewarm_mode,
                         # partial-serving boots also warm the drafted
                         # greedy program (AOT mode only) so a session's
-                        # second partial never stalls on its compile
-                        include_drafted=DRAFT_PARTIALS,
+                        # second partial never stalls on its compile —
+                        # including under 'adaptive', which may engage
+                        # it at any point after boot
+                        include_drafted=eng._draft_mode != "off",
                     )
                 if prewarm_mode == "aot":
                     # one real tiny decode proves end-to-end execution

@@ -247,3 +247,23 @@ def test_mesh_shape_creates_sharded_engine():
         assert fut.result(timeout=120).audio_duration > 0
     finally:
         registry.close(drain_timeout_sec=5)
+
+
+def test_draft_mode_option_plumbs_to_engine():
+    """A model load profile can pin the partial-draft routing mode
+    (docs/tuning.md: `draft_mode` option; env sets the default)."""
+    reg = ModelRegistry()
+    reg.load_model(
+        "default",
+        {"backend": "jax_whisper", "model_size": "test", "device": "cpu",
+         "compute_type": "float32", "pool_size": 1, "prewarm": False,
+         "audio_buckets_sec": (1.0,), "batch_buckets": (1,),
+         "max_decode_tokens": 24, "batch_window_ms": 0.0, "max_batch": 1,
+         "draft_mode": "on"},
+    )
+    try:
+        eng = reg._pools["default"].engine
+        assert eng._draft_mode == "on"
+        assert eng._draft_engaged  # 'on' engages unconditionally
+    finally:
+        reg.close()
