@@ -220,10 +220,17 @@ def main() -> None:
                 continue
             if proc.returncode == 0 and "PROBE_OK" in proc.stdout:
                 break
+            prev_err = last_err
             last_err = " | ".join(
                 (proc.stderr or proc.stdout).strip()[-300:].splitlines()
             ) or f"probe exit {proc.returncode}"
             log(f"probe attempt {attempt} failed: {last_err}")
+            # a probe that ERRORS (vs hangs) the same way twice is a
+            # deterministic init failure (broken install, bad
+            # JAX_PLATFORMS, missing plugin) — exit with the diagnostic
+            # now instead of spinning to the deadline
+            if last_err == prev_err:
+                _fail(f"deterministic init failure: {last_err}")
             time.sleep(min(10.0, max(0.0, remaining)))
         # the tunnel answered a fresh process moments ago; the in-process
         # init should match — but backstop it anyway (a hang here without
@@ -390,9 +397,13 @@ def main() -> None:
                    for _ in range(streams2)]
             futures.wait(prev)
             done_at2.append(time.perf_counter() - t0)
+            for f in prev:
+                f.result()  # surface request failures (OOM at 2x rows)
             prev = nxt
         futures.wait(prev)
         done_at2.append(time.perf_counter() - t0)
+        for f in prev:
+            f.result()
         walls2 = sorted(
             done_at2[i] - done_at2[i - 1] for i in range(1, len(done_at2))
         )

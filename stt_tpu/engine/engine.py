@@ -118,8 +118,19 @@ if _draft_env in ("off", "0", "false", "no"):
     DRAFT_MODE = "off"
 elif _draft_env in ("adaptive", "auto"):
     DRAFT_MODE = "adaptive"
-else:
+elif _draft_env in ("on", "1", "true", "yes", "always"):
     DRAFT_MODE = "on"
+else:
+    # an operator typo must not silently force always-on drafting (a
+    # measured ~2x partial-latency regression at low acceptance); fall
+    # back to the safe adaptive default and say so
+    import logging as _logging
+
+    _logging.getLogger("stt_tpu").warning(
+        "unrecognized STT_DRAFT_PARTIALS=%r; using 'adaptive' "
+        "(valid: on/off/adaptive)", _draft_env,
+    )
+    DRAFT_MODE = "adaptive"
 # back-compat alias: any mode that can reach the drafted program
 DRAFT_PARTIALS = DRAFT_MODE != "off"
 
@@ -738,10 +749,18 @@ def write_exec_blob(path, compiled) -> None:
     wire format: a 32-byte sha256 integrity header + the pickled
     ``(payload, in_tree, out_tree)`` from serialize_executable. Parent
     dirs are created 0700 (the blob is a pickle; no other local user may
-    be able to plant one)."""
+    be able to plant one).
+
+    The tmp name must be unique per WRITER, not per process: parallel
+    AOT prewarm threads can compile the same encoder key (the beam-1 and
+    beam-5 variants of one shape both produce it) and a shared pid-only
+    tmp made them truncate each other's half-written file — the loser's
+    os.replace then raced a vanished tmp and the winner could publish an
+    interleaved (integrity-hash-rejected) blob."""
     import hashlib
     import os
     import pickle
+    import threading
 
     from jax.experimental.serialize_executable import serialize
 
@@ -754,7 +773,7 @@ def write_exec_blob(path, compiled) -> None:
         pass
     path.parent.mkdir(parents=True, exist_ok=True, mode=0o700)
     body = pickle.dumps((payload, in_tree, out_tree))
-    tmp = str(path) + f".tmp{os.getpid()}"
+    tmp = str(path) + f".tmp{os.getpid()}_{threading.get_ident()}"
     with open(tmp, "wb") as f:
         f.write(hashlib.sha256(body).digest() + body)
     os.replace(tmp, path)

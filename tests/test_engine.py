@@ -1074,3 +1074,40 @@ def test_clip_ranges_parser():
     assert _clip_ranges_of(req("1,2,3,4")) == [(1.0, 2.0), (3.0, 4.0)]
     assert _clip_ranges_of(req([2.5])) == [(2.5, float("inf"))]
     assert _clip_ranges_of(req("bogus")) is None
+
+
+def test_write_exec_blob_concurrent_same_key(tmp_path):
+    """Parallel AOT prewarm threads can persist the SAME key (beam-1 and
+    beam-5 variants of one shape share the encoder program); concurrent
+    write_exec_blob calls must never truncate each other's tmp file or
+    publish a corrupted blob (pid-only tmp names did exactly that)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from stt_tpu.engine.engine import read_exec_blob, write_exec_blob
+
+    compiled = jax.jit(lambda x: x * 2).lower(
+        jax.ShapeDtypeStruct((4,), jnp.float32)
+    ).compile()
+    path = tmp_path / "fp" / "enc_test.jexec"
+    errors = []
+
+    def writer():
+        try:
+            for _ in range(5):
+                write_exec_blob(path, compiled)
+        except Exception as exc:  # pragma: no cover - the regression
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    loaded = read_exec_blob(path, jax.devices()[:1])
+    out = loaded(jnp.arange(4, dtype=jnp.float32))
+    assert list(np.asarray(out)) == [0.0, 2.0, 4.0, 6.0]
+    assert not list(path.parent.glob("*.tmp*")), "tmp litter left behind"

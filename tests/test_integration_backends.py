@@ -441,6 +441,10 @@ def test_real_weights_drafted_partials_parity():
     engine = WhisperEngine(
         "tiny", device="cpu", compute_type="bfloat16", max_batch=2,
         weights_path=weights, batch_buckets=(1, 2),
+        # the gate MEASURES the drafted path; the adaptive serving
+        # default would route these few ticks plain (EMA needs
+        # min-obs observations before it can engage)
+        draft_mode="on",
     )
     engine.start()
     try:

@@ -150,12 +150,21 @@ def main() -> None:
                 timeout=args.timeout,
             )
             wall = time.monotonic() - t0
-            tail = (proc.stdout + proc.stderr).strip().splitlines()[-25:]
-            if proc.returncode == 0:
+            out = proc.stdout + proc.stderr
+            tail = out.strip().splitlines()[-25:]
+            # pytest exits 0 for a SKIPPED test (e.g. a module-level
+            # importorskip on a torch-less serving image), so rc alone
+            # cannot distinguish proof from a skip — a skip must never
+            # be reported as PASS
+            import re as _re
+
+            ran = bool(_re.search(r"\b[1-9]\d* passed\b", out))
+            skipped = (proc.returncode == 5
+                       or _re.search(r"\b[1-9]\d* skipped\b", out)
+                       or "no tests ran" in out)
+            if proc.returncode == 0 and ran and not skipped:
                 status = "PASS"
-            elif proc.returncode == 5 or " skipped" in proc.stdout:
-                # the test itself skipped (env vanished mid-run?) — do
-                # not count a skip as proof
+            elif proc.returncode in (0, 5) and skipped:
                 status = "SKIPPED"
             else:
                 status = "FAIL"
