@@ -21,6 +21,7 @@ import grpc
 import numpy as np
 
 from ..gen import stt_pb2
+from ..utils.subtitles import cues_from_results, render_srt, render_vtt
 from .common import (
     StreamStats,
     TranscriptTracker,
@@ -75,6 +76,8 @@ def run(
     signed_token_secret: Optional[str] = None,
     report_metrics: bool = True,
     retry_attempts: int = 3,
+    srt_path: Optional[str] = None,
+    vtt_path: Optional[str] = None,
 ) -> int:
     session_id = session_id or f"batch-{uuid.uuid4().hex[:12]}"
     client = StreamingClient(
@@ -117,12 +120,23 @@ def run(
             metadata=[("session-id", session_id)],
         )
         tracker = TranscriptTracker()
+        finals = []
         for r in responses:
             stats.responses += 1
             recognized_at = time.perf_counter() - stream_start
             display = tracker.display_text(r)
             kind = "FINAL" if r.is_final else "PARTIAL"
+            if r.is_final:
+                finals.append(r)
             print(format_result(kind, display, r, recognized_at, session_id))
+        if srt_path or vtt_path:
+            cues = cues_from_results(finals)
+            if srt_path:
+                Path(srt_path).write_text(render_srt(cues), encoding="utf-8")
+                print(f"[BATCH] wrote {len(cues)} cues to {srt_path}")
+            if vtt_path:
+                Path(vtt_path).write_text(render_vtt(cues), encoding="utf-8")
+                print(f"[BATCH] wrote {len(cues)} cues to {vtt_path}")
         return 0
     except grpc.RpcError as exc:
         code = parse_error_code(exc) or ""
@@ -169,6 +183,10 @@ def main() -> None:
     parser.add_argument("--signed-token-secret", default=None)
     parser.add_argument("--no-metrics", dest="report_metrics", action="store_false")
     parser.add_argument("--retry-attempts", type=int, default=3)
+    parser.add_argument("--srt", dest="srt_path", default=None,
+                        help="write final segments as a SubRip .srt file")
+    parser.add_argument("--vtt", dest="vtt_path", default=None,
+                        help="write final segments as a WebVTT .vtt file")
     args = parser.parse_args()
     sys.exit(run(
         args.path,
@@ -185,6 +203,8 @@ def main() -> None:
         signed_token_secret=args.signed_token_secret,
         report_metrics=args.report_metrics,
         retry_attempts=args.retry_attempts,
+        srt_path=args.srt_path,
+        vtt_path=args.vtt_path,
     ))
 
 
