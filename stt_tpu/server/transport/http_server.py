@@ -38,6 +38,7 @@ from ...errors import ErrorCode, STTError, http_payload_for
 from ...utils.logging import LOGGER
 from ...utils.rate_limit import KeyedRateLimiter
 from ..runtime.system_metrics import collect_system_metrics
+from .rest_transcribe import handle_transcription
 
 _ADMIN_ENABLE_ENV = "STT_ADMIN_ENABLED"
 _ADMIN_TOKEN_ENV = "STT_ADMIN_TOKEN"
@@ -51,11 +52,20 @@ _HTTP_RATE_LIMIT_BURST_ENV = "STT_HTTP_RATE_LIMIT_BURST"
 _HTTP_ALLOWLIST_ENV = "STT_HTTP_ALLOWLIST"
 _HTTP_TRUSTED_PROXIES_ENV = "STT_HTTP_TRUSTED_PROXIES"
 
+_REST_TRANSCRIBE_ENV = "STT_REST_TRANSCRIBE"
+
 _TRUE = {"1", "true", "yes", "on"}
+_FALSE = {"0", "false", "no", "off"}
 
 
 def _env_enabled(name: str) -> bool:
     return os.getenv(name, "").strip().lower() in _TRUE
+
+
+def _rest_transcribe_enabled() -> bool:
+    """REST transcription is on unless explicitly disabled (the endpoint
+    enforces the same allowlist/rate-limit/session gauntlet as gRPC)."""
+    return os.getenv(_REST_TRANSCRIBE_ENV, "").strip().lower() not in _FALSE
 
 
 def _admin_token() -> str:
@@ -470,6 +480,17 @@ class HttpPlane:
                 return 200, "application/json", {
                     "models": self.runtime.model_registry.list_models(),
                 }
+            if method == "POST" and path == "/v1/audio/transcriptions":
+                if not _rest_transcribe_enabled():
+                    return 404, "application/json", {
+                        "code": "404", "message": "not found",
+                    }
+                self._enforce_allowlist(client_ip)
+                self._enforce_rate_limit(client_ip)
+                return handle_transcription(
+                    self.runtime, query, headers, body, client_ip,
+                    _bearer_token(headers),
+                )
             return 404, "application/json", {"code": "404", "message": "not found"}
         except STTError as exc:
             return (

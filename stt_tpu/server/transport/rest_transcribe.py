@@ -1,0 +1,360 @@
+"""One-shot REST transcription: ``POST /v1/audio/transcriptions``.
+
+Beyond-reference convenience surface (the reference exposes batch
+transcription only through the gRPC batch client,
+``/root/reference/stt_client/batch/file.py``): upload a WAV, get the
+transcript back in one HTTP round trip, with OpenAI-audio-style request
+fields (``file``, ``language``, ``response_format``) so existing REST
+integrations port over directly.
+
+The endpoint is a thin shim: it creates a session through the full
+CreateSession gauntlet (auth, rate limits, per-identity caps) and feeds
+the audio through the same ``StreamOrchestrator`` state machine the
+gRPC/WS transports use, so every server-side limit and metric applies
+unchanged. Decode semantics match the batch client: unpaced chunks, the
+last chunk ``is_final``, ``accurate`` profile by default.
+
+Request encodings:
+- ``multipart/form-data`` with a ``file`` part (WAV) plus optional text
+  fields, or
+- a raw WAV body (any other content type) with options as query params.
+
+Options: ``language`` (BCP-47 code), ``task`` (``transcribe`` |
+``translate``), ``decode_profile``, ``model_id``, ``response_format``
+(``json`` default | ``text`` | ``verbose_json`` | ``srt`` | ``vtt``).
+An ``Authorization: Bearer <key>`` header is forwarded as the session
+``api_key`` attribute.
+"""
+
+from __future__ import annotations
+
+import email.parser
+import email.policy
+import io
+import re
+import uuid
+import wave
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import grpc
+import numpy as np
+
+from ...errors import ERROR_HTTP_STATUS_MAP, ErrorCode, http_payload_for
+from ...gen import stt_pb2
+from ...utils.logging import LOGGER
+from ...utils.subtitles import cues_from_results, render_srt, render_vtt
+
+_CHUNK_MS = 500
+_ERR_RE = re.compile(r"ERR\d{4}")
+
+_TASK_ALIASES = {
+    "transcribe": stt_pb2.TASK_TRANSCRIBE,
+    "translate": stt_pb2.TASK_TRANSLATE,
+}
+_PROFILE_ALIASES = {
+    "realtime": stt_pb2.DECODE_PROFILE_REALTIME,
+    "accurate": stt_pb2.DECODE_PROFILE_ACCURATE,
+}
+RESPONSE_FORMATS = ("json", "text", "verbose_json", "srt", "vtt")
+
+
+class RestAbort(RuntimeError):
+    """Raised by :class:`RestContext` when a layer aborts the request."""
+
+    def __init__(self, status: grpc.StatusCode, details: str) -> None:
+        super().__init__(details)
+        self.status = status
+        self.details = details
+
+
+class RestContext:
+    """grpc.ServicerContext stand-in for the synchronous REST flow.
+
+    Same minimal surface as the WS bridge's context
+    (``ws_server.WebSocketContext``): metadata, peer, liveness,
+    disconnect callbacks, trailing metadata, abort.
+    """
+
+    def __init__(self, peer: str) -> None:
+        self._peer_label = peer
+        self._on_close: List[Any] = []
+        self._open = True
+        self.trailing_metadata = None
+
+    def peer(self) -> str:
+        return self._peer_label
+
+    def is_active(self) -> bool:
+        return self._open
+
+    def invocation_metadata(self):
+        return []
+
+    def set_trailing_metadata(self, metadata):
+        self.trailing_metadata = metadata
+
+    def add_callback(self, callback):
+        self._on_close.append(callback)
+        return True
+
+    def abort(self, code, details):
+        raise RestAbort(code, details)
+
+    def close(self) -> None:
+        if not self._open:
+            return
+        self._open = False
+        for hook in self._on_close:
+            try:
+                hook()
+            except Exception:
+                LOGGER.exception("REST disconnect callback failed")
+
+
+def parse_wav_bytes(data: bytes) -> Tuple[bytes, int]:
+    """16-bit PCM WAV → (mono pcm16 bytes, sample_rate).
+
+    Stereo takes the left channel (same convention as the CLI clients'
+    loader). Raises ``ValueError`` for non-WAV or non-16-bit payloads.
+    """
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            channels = wf.getnchannels()
+            sampwidth = wf.getsampwidth()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a readable WAV file: {exc}") from exc
+    if sampwidth != 2:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    if rate <= 0:
+        raise ValueError("WAV header has no sample rate")
+    if channels > 1:
+        pcm = np.frombuffer(frames, dtype=np.int16)
+        usable = (len(pcm) // channels) * channels
+        frames = np.ascontiguousarray(
+            pcm[:usable].reshape(-1, channels)[:, 0]
+        ).tobytes()
+    return frames, rate
+
+
+def parse_multipart(
+    content_type: str, body: bytes
+) -> Tuple[Dict[str, str], Optional[bytes]]:
+    """multipart/form-data → ({text fields}, file bytes or None)."""
+    head = (
+        f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n"
+    ).encode("ascii", "replace")
+    msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
+        head + body
+    )
+    fields: Dict[str, str] = {}
+    file_bytes: Optional[bytes] = None
+    if not msg.is_multipart():
+        return fields, None
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        if name == "file":
+            file_bytes = payload
+        else:
+            fields[str(name)] = payload.decode("utf-8", "replace").strip()
+    return fields, file_bytes
+
+
+def _chunks(
+    pcm: bytes,
+    sample_rate: int,
+    session_id: str,
+    session_token: str,
+) -> Iterator[stt_pb2.AudioChunk]:
+    """Unpaced chunk stream; the last chunk carries ``is_final``."""
+    bytes_per_chunk = max(int(sample_rate * (_CHUNK_MS / 1000.0)) * 2, 2)
+    total = len(pcm)
+    if total == 0:
+        yield stt_pb2.AudioChunk(
+            session_id=session_id,
+            session_token=session_token,
+            sample_rate=sample_rate,
+            is_final=True,
+        )
+        return
+    idx = 0
+    while idx < total:
+        end = min(idx + bytes_per_chunk, total)
+        yield stt_pb2.AudioChunk(
+            pcm16=pcm[idx:end],
+            sample_rate=sample_rate,
+            is_final=end >= total,
+            session_id=session_id,
+            session_token=session_token,
+        )
+        idx = end
+
+
+def _http_status_for_abort(details: str) -> int:
+    match = _ERR_RE.search(details or "")
+    if match:
+        try:
+            return ERROR_HTTP_STATUS_MAP[ErrorCode(match.group(0))]
+        except (KeyError, ValueError):
+            pass
+    return 400
+
+
+def _abort_payload(details: str) -> Dict[str, str]:
+    match = _ERR_RE.search(details or "")
+    if match:
+        try:
+            return http_payload_for(ErrorCode(match.group(0)), details)
+        except ValueError:
+            pass
+    return {"code": "aborted", "message": details or "request aborted"}
+
+
+def _bad_request(message: str) -> Tuple[int, str, Any]:
+    return 400, "application/json", {
+        "code": "invalid_request", "message": message,
+    }
+
+
+def format_response(
+    results: List, fmt: str, duration_sec: float, task: str
+) -> Tuple[str, Any]:
+    """Final STTResults → (content_type, payload) for ``response_format``."""
+    finals = [r for r in results if r.is_final]
+    text = " ".join(r.text.strip() for r in finals if r.text.strip())
+    if fmt == "text":
+        return "text/plain; charset=utf-8", text + ("\n" if text else "")
+    if fmt == "srt":
+        return "text/plain; charset=utf-8", render_srt(
+            cues_from_results(finals)
+        )
+    if fmt == "vtt":
+        return "text/vtt; charset=utf-8", render_vtt(
+            cues_from_results(finals)
+        )
+    if fmt == "verbose_json":
+        language = next(
+            (r.language_code for r in finals if r.language_code), ""
+        )
+        return "application/json", {
+            "task": task or "transcribe",
+            "language": language,
+            "duration": round(duration_sec, 3),
+            "text": text,
+            "segments": [
+                {
+                    "id": i,
+                    "start": r.start_sec,
+                    "end": r.end_sec,
+                    "text": r.text,
+                }
+                for i, r in enumerate(finals)
+            ],
+        }
+    return "application/json", {"text": text}
+
+
+def handle_transcription(
+    runtime,
+    query: Dict[str, List[str]],
+    headers,
+    body: bytes,
+    client_ip: str,
+    bearer_token: str,
+) -> Tuple[int, str, Any]:
+    """Full request flow; returns (status, content_type, payload)."""
+    content_type = str(
+        (headers.get("content-type") if headers else "") or ""
+    )
+    fields: Dict[str, str] = {
+        key: values[0] for key, values in (query or {}).items() if values
+    }
+    if content_type.lower().startswith("multipart/form-data"):
+        try:
+            form_fields, file_bytes = parse_multipart(content_type, body)
+        except Exception as exc:
+            return _bad_request(f"unparseable multipart body: {exc}")
+        fields.update(form_fields)
+        if file_bytes is None:
+            return _bad_request("multipart body has no 'file' part")
+        audio_bytes = file_bytes
+    else:
+        audio_bytes = body
+    if not audio_bytes:
+        return _bad_request("empty audio payload")
+
+    fmt = (fields.get("response_format") or "json").strip().lower()
+    if fmt not in RESPONSE_FORMATS:
+        return _bad_request(
+            f"response_format must be one of {', '.join(RESPONSE_FORMATS)}"
+        )
+    task_name = (fields.get("task") or "").strip().lower()
+    if task_name and task_name not in _TASK_ALIASES:
+        return _bad_request("task must be 'transcribe' or 'translate'")
+    profile_name = (
+        (fields.get("decode_profile") or "accurate").strip().lower()
+    )
+    if profile_name not in _PROFILE_ALIASES:
+        return _bad_request(
+            f"decode_profile must be one of {', '.join(_PROFILE_ALIASES)}"
+        )
+
+    try:
+        pcm, sample_rate = parse_wav_bytes(audio_bytes)
+    except ValueError as exc:
+        return _bad_request(str(exc))
+    duration_sec = len(pcm) / 2.0 / sample_rate
+
+    attributes = {"upload_mode": "batch"}
+    if bearer_token:
+        attributes["api_key"] = bearer_token
+    model_id = (fields.get("model_id") or "").strip()
+    if model_id:
+        attributes["model_id"] = model_id
+
+    session_id = f"rest-{uuid.uuid4().hex[:12]}"
+    request = stt_pb2.SessionRequest(
+        session_id=session_id,
+        attributes=attributes,
+        vad_mode=stt_pb2.VAD_CONTINUE,
+        vad_threshold=0.0,  # endpointing is pointless for one-shot uploads
+        language_code=(fields.get("language") or "").strip(),
+        task=_TASK_ALIASES.get(task_name, stt_pb2.TASK_UNSPECIFIED),
+        decode_profile=_PROFILE_ALIASES[profile_name],
+    )
+    context = RestContext(peer=f"ipv4:{client_ip}:0")
+    try:
+        response = runtime.create_session_handler.handle(request, context)
+        token = response.token if response.token_required else ""
+        results = list(
+            runtime.stream_orchestrator.run(
+                _chunks(pcm, sample_rate, session_id, token), context
+            )
+        )
+    except RestAbort as exc:
+        return (
+            _http_status_for_abort(exc.details),
+            "application/json",
+            _abort_payload(exc.details),
+        )
+    finally:
+        context.close()
+    content_type, payload = format_response(
+        results, fmt, duration_sec, task_name
+    )
+    return 200, content_type, payload
+
+
+__all__ = [
+    "RESPONSE_FORMATS",
+    "RestAbort",
+    "RestContext",
+    "format_response",
+    "handle_transcription",
+    "parse_multipart",
+    "parse_wav_bytes",
+]

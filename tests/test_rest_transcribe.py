@@ -1,0 +1,236 @@
+"""REST one-shot transcription endpoint tests.
+
+Drives ``POST /v1/audio/transcriptions`` through ``HttpPlane.handle()``
+with a real ApplicationRuntime on the fake backend — the full session
+gauntlet + orchestrator + decode path, no sockets. Beyond-reference
+surface; decode semantics mirror the gRPC batch client
+(``/root/reference/stt_client/batch/file.py:271-292``).
+"""
+
+import io
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from stt_tpu.config.loader import ServerConfig
+from stt_tpu.server.runtime.runtime import ApplicationRuntime
+from stt_tpu.server.transport.http_server import HttpPlane
+from stt_tpu.server.transport.rest_transcribe import (
+    parse_multipart,
+    parse_wav_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    cfg = ServerConfig(
+        model="tiny", model_backend="fake", device="cpu",
+        adaptive_throttle_enabled=False,
+    )
+    rt = ApplicationRuntime(cfg)
+    yield rt
+    rt.shutdown(drain_timeout_sec=2.0)
+
+
+@pytest.fixture(scope="module")
+def plane(runtime):
+    return HttpPlane(runtime, {"grpc_running": True})
+
+
+def wav_bytes(seconds=1.0, sr=16000, channels=1, freq=220.0):
+    t = np.arange(int(sr * seconds)) / sr
+    pcm = (0.3 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    if channels == 2:
+        inter = np.empty(len(pcm) * 2, np.int16)
+        inter[0::2] = pcm
+        inter[1::2] = -pcm
+        pcm = inter
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+_PEER_COUNTER = iter(range(1, 250))
+
+
+def post(plane, body, *, query=None, headers=None, path="/v1/audio/transcriptions"):
+    # distinct peer per call: the endpoint rides the real per-IP
+    # stream-byte-rate gauntlet, which a shared test IP would trip
+    peer = f"9.8.7.{next(_PEER_COUNTER)}"
+    return plane.handle(
+        "POST", path, query or {}, headers or {}, body, peer
+    )
+
+
+def multipart_body(file_bytes, fields):
+    boundary = "xxBOUNDARYxx"
+    parts = []
+    for name, value in fields.items():
+        parts.append(
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="{name}"\r\n\r\n'
+            f"{value}\r\n".encode()
+        )
+    parts.append(
+        (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; '
+            f'filename="a.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n"
+        ).encode()
+        + file_bytes
+        + b"\r\n"
+    )
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+# -- WAV / multipart parsing ------------------------------------------------
+
+
+def test_parse_wav_mono():
+    pcm, sr = parse_wav_bytes(wav_bytes(seconds=0.5))
+    assert sr == 16000 and len(pcm) == 16000  # 0.5s * 16k * 2 bytes
+
+
+def test_parse_wav_stereo_takes_left():
+    mono_pcm, _ = parse_wav_bytes(wav_bytes(seconds=0.1))
+    stereo_pcm, _ = parse_wav_bytes(wav_bytes(seconds=0.1, channels=2))
+    assert stereo_pcm == mono_pcm
+
+
+def test_parse_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_wav_bytes(b"definitely not a wav")
+
+
+def test_parse_multipart_roundtrip():
+    body, ctype = multipart_body(b"\x00\x01\xff\xfe", {"language": "en"})
+    fields, file_bytes = parse_multipart(ctype, body)
+    assert fields == {"language": "en"}
+    assert file_bytes == b"\x00\x01\xff\xfe"
+
+
+# -- endpoint: happy paths --------------------------------------------------
+
+
+def test_raw_wav_json_response(plane):
+    status, ctype, payload = post(
+        plane, wav_bytes(), headers={"content-type": "audio/wav"}
+    )
+    assert status == 200, payload
+    assert ctype == "application/json"
+    assert payload["text"].strip()  # fake backend emits deterministic words
+
+
+def test_multipart_verbose_json(plane):
+    body, ctype = multipart_body(
+        wav_bytes(seconds=2.0), {"response_format": "verbose_json"}
+    )
+    status, rtype, payload = post(
+        plane, body, headers={"content-type": ctype}
+    )
+    assert status == 200, payload
+    assert payload["duration"] == pytest.approx(2.0)
+    assert payload["segments"], payload
+    seg = payload["segments"][0]
+    assert set(seg) == {"id", "start", "end", "text"}
+    assert payload["text"].strip()
+
+
+def test_text_format(plane):
+    status, ctype, payload = post(
+        plane, wav_bytes(), query={"response_format": ["text"]}
+    )
+    assert status == 200
+    assert ctype.startswith("text/plain")
+    assert isinstance(payload, str) and payload.endswith("\n")
+
+
+def test_srt_and_vtt_formats(plane):
+    status, _, srt = post(
+        plane, wav_bytes(), query={"response_format": ["srt"]}
+    )
+    assert status == 200 and srt.startswith("1\n00:00:00,000 --> ")
+    status, ctype, vtt = post(
+        plane, wav_bytes(), query={"response_format": ["vtt"]}
+    )
+    assert status == 200 and vtt.startswith("WEBVTT\n")
+    assert ctype.startswith("text/vtt")
+
+
+# -- endpoint: error paths --------------------------------------------------
+
+
+def test_empty_body_rejected(plane):
+    status, _, payload = post(plane, b"")
+    assert status == 400 and payload["code"] == "invalid_request"
+
+
+def test_non_wav_body_rejected(plane):
+    status, _, payload = post(plane, b"\x00" * 64)
+    assert status == 400 and "WAV" in payload["message"]
+
+
+def test_bad_response_format_rejected(plane):
+    status, _, payload = post(
+        plane, wav_bytes(), query={"response_format": ["yaml"]}
+    )
+    assert status == 400 and "response_format" in payload["message"]
+
+
+def test_bad_task_rejected(plane):
+    status, _, payload = post(plane, wav_bytes(), query={"task": ["summon"]})
+    assert status == 400
+
+
+def test_unknown_model_id_falls_back_to_default(plane):
+    # registry semantics: unknown model_id logs and serves via 'default'
+    status, _, payload = post(
+        plane, wav_bytes(), query={"model_id": ["nope"]}
+    )
+    assert status == 200 and payload["text"].strip()
+
+
+def test_abort_maps_err_code_to_http_status(plane):
+    # same peer posting repeatedly trips the per-IP stream byte-rate
+    # gauntlet (batch lane) -> ERR-coded JSON with its HTTP status
+    statuses = []
+    for _ in range(6):
+        status, _, payload = plane.handle(
+            "POST", "/v1/audio/transcriptions", {}, {},
+            wav_bytes(seconds=2.0), "9.8.250.1",
+        )
+        statuses.append((status, payload))
+    errored = [(s, p) for s, p in statuses if s != 200]
+    assert errored, "rate gauntlet never tripped"
+    status, payload = errored[0]
+    assert status == 429
+    assert payload["code"].startswith("ERR"), payload
+
+
+def test_multipart_without_file_rejected(plane):
+    body, ctype = multipart_body(b"x", {"language": "en"})
+    body = body.replace(b'name="file"', b'name="nope"')
+    status, _, payload = post(plane, body, headers={"content-type": ctype})
+    assert status == 400 and "file" in payload["message"]
+
+
+def test_disabled_via_env(plane, monkeypatch):
+    monkeypatch.setenv("STT_REST_TRANSCRIBE", "0")
+    status, _, _ = post(plane, wav_bytes())
+    assert status == 404
+
+
+def test_json_payload_serializable(plane):
+    status, _, payload = post(
+        plane, wav_bytes(), query={"response_format": ["verbose_json"]}
+    )
+    assert status == 200
+    json.dumps(payload)  # the HTTP layer json-encodes dict payloads
