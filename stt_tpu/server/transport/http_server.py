@@ -480,6 +480,30 @@ class HttpPlane:
                 return 200, "application/json", {
                     "models": self.runtime.model_registry.list_models(),
                 }
+            if method == "GET" and path == "/v1/models":
+                # OpenAI-models-shaped listing so REST integrations can
+                # discover valid `model_id` values without admin access.
+                # Only non-operational fields are exposed (pool depth,
+                # device placement etc. stay behind /admin/list_models).
+                if not _rest_transcribe_enabled():
+                    return 404, "application/json", {
+                        "code": "404", "message": "not found",
+                    }
+                self._enforce_allowlist(client_ip)
+                self._enforce_rate_limit(client_ip)
+                return 200, "application/json", {
+                    "object": "list",
+                    "data": [
+                        {
+                            "id": info.get("model_id"),
+                            "object": "model",
+                            "owned_by": "stt_tpu",
+                            "model_size": info.get("model_size"),
+                        }
+                        for info in
+                        self.runtime.model_registry.list_models()
+                    ],
+                }
             if method == "POST" and path == "/v1/audio/transcriptions":
                 if not _rest_transcribe_enabled():
                     return 404, "application/json", {

@@ -234,3 +234,28 @@ def test_json_payload_serializable(plane):
     )
     assert status == 200
     json.dumps(payload)  # the HTTP layer json-encodes dict payloads
+
+
+# -- GET /v1/models ----------------------------------------------------------
+
+
+def test_v1_models_lists_loaded_models(plane):
+    status, ctype, payload = plane.handle(
+        "GET", "/v1/models", {}, {}, b"", "9.8.251.1"
+    )
+    assert status == 200 and ctype == "application/json"
+    assert payload["object"] == "list"
+    ids = [m["id"] for m in payload["data"]]
+    assert "default" in ids  # the boot model registers as "default"
+    for m in payload["data"]:
+        assert m["object"] == "model"
+        # operational fields stay behind /admin/list_models
+        assert "pending" not in m and "device" not in m
+
+
+def test_v1_models_disabled_via_env(plane, monkeypatch):
+    monkeypatch.setenv("STT_REST_TRANSCRIBE", "off")
+    status, _, _ = plane.handle(
+        "GET", "/v1/models", {}, {}, b"", "9.8.251.2"
+    )
+    assert status == 404
