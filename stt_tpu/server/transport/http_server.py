@@ -53,6 +53,10 @@ _HTTP_ALLOWLIST_ENV = "STT_HTTP_ALLOWLIST"
 _HTTP_TRUSTED_PROXIES_ENV = "STT_HTTP_TRUSTED_PROXIES"
 
 _REST_TRANSCRIBE_ENV = "STT_REST_TRANSCRIBE"
+_HTTP_MAX_BODY_ENV = "STT_HTTP_MAX_BODY_MB"
+# default fits a ~1h 16 kHz mono PCM16 WAV (~115 MB) with headroom;
+# admin/observability requests are orders of magnitude smaller
+_HTTP_MAX_BODY_MB_DEFAULT = 128.0
 
 _TRUE = {"1", "true", "yes", "on"}
 _FALSE = {"0", "false", "no", "off"}
@@ -60,6 +64,15 @@ _FALSE = {"0", "false", "no", "off"}
 
 def _env_enabled(name: str) -> bool:
     return os.getenv(name, "").strip().lower() in _TRUE
+
+
+def _max_body_bytes() -> int:
+    raw = os.getenv(_HTTP_MAX_BODY_ENV, "").strip()
+    try:
+        mb = float(raw) if raw else _HTTP_MAX_BODY_MB_DEFAULT
+    except ValueError:
+        mb = _HTTP_MAX_BODY_MB_DEFAULT
+    return int(mb * 1024 * 1024)
 
 
 def _rest_transcribe_enabled() -> bool:
@@ -655,7 +668,27 @@ class _Handler(BaseHTTPRequestHandler):
     def _dispatch(self, method: str) -> None:
         parsed = urlparse(self.path)
         query = parse_qs(parsed.query)
-        length = int(self.headers.get("content-length") or 0)
+        try:
+            length = int(self.headers.get("content-length") or 0)
+        except ValueError:
+            length = -1
+        limit = _max_body_bytes()
+        if length < 0 or length > limit:
+            # refuse before buffering: an audio upload surface must not
+            # let a declared content-length allocate unbounded RAM
+            data = json.dumps({
+                "code": "payload_too_large",
+                "message": f"body exceeds {limit} bytes "
+                           f"(tune {_HTTP_MAX_BODY_ENV})",
+            }).encode("utf-8")
+            self.send_response(413)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(data)))
+            self.send_header("connection", "close")
+            self.end_headers()
+            self.wfile.write(data)
+            self.close_connection = True
+            return
         body = self.rfile.read(length) if length > 0 else b""
         peer_ip = self.client_address[0] if self.client_address else ""
         status, content_type, payload = self.plane.handle(

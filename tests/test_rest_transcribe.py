@@ -259,3 +259,39 @@ def test_v1_models_disabled_via_env(plane, monkeypatch):
         "GET", "/v1/models", {}, {}, b"", "9.8.251.2"
     )
     assert status == 404
+
+
+# -- body-size cap (socket layer) ---------------------------------------------
+
+
+def test_oversized_body_rejected_before_buffering(runtime, monkeypatch):
+    import urllib.error
+    import urllib.request
+
+    from stt_tpu.server.transport.http_server import start_http_server
+
+    monkeypatch.setenv("STT_HTTP_MAX_BODY_MB", "0.001")  # ~1 KB cap
+    handle = start_http_server(runtime, {"grpc_running": True},
+                               "127.0.0.1", 0)
+    try:
+        url = (f"http://127.0.0.1:{handle.port}"
+               f"/v1/audio/transcriptions")
+        req = urllib.request.Request(
+            url, data=wav_bytes(seconds=0.5), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=5)
+        assert exc_info.value.code == 413
+        payload = json.loads(exc_info.value.read())
+        assert payload["code"] == "payload_too_large"
+
+        # under the cap the request flows normally
+        monkeypatch.setenv("STT_HTTP_MAX_BODY_MB", "128")
+        req = urllib.request.Request(
+            url, data=wav_bytes(seconds=0.5), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            assert "text" in json.loads(resp.read())
+    finally:
+        handle.stop(timeout=5)
