@@ -68,10 +68,27 @@ PRESETS: Dict[str, WhisperConfig] = {
     "medium": WhisperConfig("medium", 80, 1024, 16, 24, 51865, 1024, 16, 24),
     "large-v2": WhisperConfig("large-v2", 80, 1280, 20, 32, 51865, 1280, 20, 32),
     "large-v3": WhisperConfig("large-v3", 128, 1280, 20, 32, 51866, 1280, 20, 32),
+    # reduced-decoder family (openai large-v3-turbo, HF distil-whisper):
+    # the parent's encoder with a 4- or 2-layer decoder — at this
+    # server's decode-bound serving point the sequential per-token cost
+    # drops ~8-16x while encoder FLOPs stay put (reference serves these
+    # by name through faster_whisper's model table)
+    "large-v3-turbo": WhisperConfig(
+        "large-v3-turbo", 128, 1280, 20, 32, 51866, 1280, 20, 4
+    ),
+    "distil-large-v3": WhisperConfig(
+        "distil-large-v3", 128, 1280, 20, 32, 51866, 1280, 20, 2
+    ),
+    "distil-large-v2": WhisperConfig(
+        "distil-large-v2", 80, 1280, 20, 32, 51865, 1280, 20, 2
+    ),
     # micro config for hermetic tests: full token layout, tiny dims
     "test": WhisperConfig("test", 80, 64, 2, 2, 51865, 64, 2, 2),
 }
 PRESETS["large"] = dataclasses.replace(PRESETS["large-v3"], name="large")
+PRESETS["turbo"] = dataclasses.replace(
+    PRESETS["large-v3-turbo"], name="turbo"
+)
 
 
 def get_config(name: str) -> WhisperConfig:

@@ -677,3 +677,42 @@ def test_no_repeat_ngram_blocks_bigram_loop():
     # consecutive fav would repeat it and must be banned
     assert t_ban[0] == fav and t_ban[1] == fav
     assert t_ban[2] != fav
+
+
+# -- reduced-decoder family (large-v3-turbo / distil-whisper) ----------------
+
+
+def test_reduced_decoder_presets_resolve():
+    turbo = W.get_config("large-v3-turbo")
+    assert (turbo.n_audio_layer, turbo.n_text_layer) == (32, 4)
+    assert turbo.n_mels == 128 and turbo.n_vocab == 51866
+    assert W.get_config("turbo").n_text_layer == 4
+    assert W.get_config("whisper-large-v3-turbo").n_text_layer == 4
+    d3 = W.get_config("distil-large-v3")
+    assert (d3.n_audio_layer, d3.n_text_layer, d3.n_mels) == (32, 2, 128)
+    d2 = W.get_config("distil-large-v2")
+    assert (d2.n_audio_layer, d2.n_text_layer, d2.n_vocab) == (32, 2, 51865)
+
+
+def test_asymmetric_layer_stacks_decode():
+    """Encoder and decoder depths differ in the turbo/distil family —
+    init/encode/decode must honor the per-stack layer counts."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, name="test-turbo", n_audio_layer=3, n_text_layer=1
+    )
+    params = W.init_params(cfg, seed=7)
+    assert params["encoder"]["blocks"]["attn"]["q"]["w"].shape[0] == 3
+    assert params["decoder"]["blocks"]["attn"]["q"]["w"].shape[0] == 1
+    audio = (0.1 * RNG.standard_normal(16000)).astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(audio))[None]
+    enc = W.encode(params, mel, cfg.n_audio_head)
+    prompt = np.array([W.build_prompt(cfg, "en")], np.int32)
+    cache = W.init_kv_cache(cfg, 1, 48)
+    tokens, lengths, *_ = W.greedy_decode(
+        params, enc, jnp.asarray(prompt),
+        jnp.full((1,), prompt.shape[1], jnp.int32),
+        cache, cfg, cfg.n_text_head, max_new_tokens=6,
+    )
+    assert int(lengths[0]) >= 1  # produced tokens without shape errors
