@@ -646,6 +646,15 @@ def exec_fingerprint(
     h.update(repr(tuple(sorted(config.__dict__.items())
                         if hasattr(config, "__dict__")
                         else config)).encode())
+    # models/presets.py is pure data and deliberately NOT in
+    # _EXEC_SRC_FILES (adding a preset must not invalidate artifacts);
+    # everything it bakes into traced programs — the derived special-token
+    # ids and the language-token order — is hashed semantically instead
+    n_vocab = getattr(config, "n_vocab", 0)
+    if n_vocab:
+        from stt_tpu.models.presets import WHISPER_LANG_CODES, token_layout
+        h.update(repr(tuple(token_layout(n_vocab))).encode())
+        h.update(",".join(WHISPER_LANG_CODES).encode())
     h.update(str(dtype).encode())
     h.update(b"pallas" if use_pallas else b"xla")
     # max_decode_tokens changes the compiled decode-loop bound (via
