@@ -1111,3 +1111,50 @@ def test_write_exec_blob_concurrent_same_key(tmp_path):
     out = loaded(jnp.arange(4, dtype=jnp.float32))
     assert list(np.asarray(out)) == [0.0, 2.0, 4.0, 6.0]
     assert not list(path.parent.glob("*.tmp*")), "tmp litter left behind"
+
+
+def test_exec_fingerprint_ignores_preset_additions_not_semantics(monkeypatch):
+    """models/presets.py is pure data excluded from the traced-source
+    hash: ADDING a preset must keep every existing fingerprint stable
+    (the reduced-decoder commit stranded ~300 MB of committed artifacts
+    when the table lived in whisper.py), while the semantic inputs the
+    table contributes to compiled programs — config values, derived
+    special-token ids, language-token order — must still move it."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from stt_tpu.engine.engine import exec_fingerprint
+    from stt_tpu.models import presets
+
+    dev = SimpleNamespace(platform="tpu", device_kind="TPU v5 lite")
+    config = presets.get_config("test")
+    before = exec_fingerprint(dev, config, jnp.bfloat16, True, 224)
+
+    # a brand-new preset entry is invisible to existing fingerprints
+    monkeypatch.setitem(
+        presets.PRESETS, "test-xl",
+        dataclasses.replace(config, name="test-xl", n_text_layer=3),
+    )
+    assert exec_fingerprint(dev, config, jnp.bfloat16, True, 224) == before
+
+    # ...but the semantic contributions still invalidate:
+    other_cfg = dataclasses.replace(config, n_text_layer=3)
+    assert exec_fingerprint(dev, other_cfg, jnp.bfloat16, True, 224) != before
+
+    orig_layout = presets.token_layout
+
+    def shifted_layout(n_vocab):
+        lay = orig_layout(n_vocab)
+        return lay._replace(no_speech=lay.no_speech + 1)
+
+    monkeypatch.setattr(presets, "token_layout", shifted_layout)
+    assert exec_fingerprint(dev, config, jnp.bfloat16, True, 224) != before
+    monkeypatch.setattr(presets, "token_layout", orig_layout)
+
+    monkeypatch.setattr(
+        presets, "WHISPER_LANG_CODES",
+        list(reversed(presets.WHISPER_LANG_CODES)),
+    )
+    assert exec_fingerprint(dev, config, jnp.bfloat16, True, 224) != before
