@@ -26,7 +26,9 @@ from __future__ import annotations
 
 import ipaddress
 import json
+import math
 import os
+import sys
 import threading
 import time
 from dataclasses import dataclass
@@ -67,12 +69,25 @@ def _env_enabled(name: str) -> bool:
 
 
 def _max_body_bytes() -> int:
+    """Request-body cap in bytes. ``inf`` disables the cap; unparseable,
+    negative, or nan values fall back to the default (a bad env var must
+    never 413 every request or crash the dispatch loop)."""
+    default = int(_HTTP_MAX_BODY_MB_DEFAULT * 1024 * 1024)
     raw = os.getenv(_HTTP_MAX_BODY_ENV, "").strip()
+    if not raw:
+        return default
     try:
-        mb = float(raw) if raw else _HTTP_MAX_BODY_MB_DEFAULT
+        mb = float(raw)
     except ValueError:
-        mb = _HTTP_MAX_BODY_MB_DEFAULT
-    return int(mb * 1024 * 1024)
+        return default
+    if math.isnan(mb) or mb < 0:
+        return default
+    if math.isinf(mb):
+        return sys.maxsize
+    try:
+        return int(mb * 1024 * 1024)
+    except (OverflowError, ValueError):
+        return sys.maxsize
 
 
 def _rest_transcribe_enabled() -> bool:
@@ -665,29 +680,35 @@ class _Handler(BaseHTTPRequestHandler):
             return
         LOGGER.debug("http %s", fmt % args)
 
+    def _refuse(self, status: int, code: str, message: str) -> None:
+        """Write a JSON error and close, without reading the body."""
+        data = json.dumps({"code": code, "message": message}).encode("utf-8")
+        self.send_response(status)
+        self.send_header("content-type", "application/json")
+        self.send_header("content-length", str(len(data)))
+        self.send_header("connection", "close")
+        self.end_headers()
+        self.wfile.write(data)
+        self.close_connection = True
+
     def _dispatch(self, method: str) -> None:
         parsed = urlparse(self.path)
         query = parse_qs(parsed.query)
         try:
             length = int(self.headers.get("content-length") or 0)
         except ValueError:
-            length = -1
+            length = None
+        if length is None or length < 0:
+            self._refuse(400, "invalid_request",
+                         "content-length header is not a valid length")
+            return
         limit = _max_body_bytes()
-        if length < 0 or length > limit:
+        if length > limit:
             # refuse before buffering: an audio upload surface must not
             # let a declared content-length allocate unbounded RAM
-            data = json.dumps({
-                "code": "payload_too_large",
-                "message": f"body exceeds {limit} bytes "
-                           f"(tune {_HTTP_MAX_BODY_ENV})",
-            }).encode("utf-8")
-            self.send_response(413)
-            self.send_header("content-type", "application/json")
-            self.send_header("content-length", str(len(data)))
-            self.send_header("connection", "close")
-            self.end_headers()
-            self.wfile.write(data)
-            self.close_connection = True
+            self._refuse(413, "payload_too_large",
+                         f"body exceeds {limit} bytes "
+                         f"(tune {_HTTP_MAX_BODY_ENV})")
             return
         body = self.rfile.read(length) if length > 0 else b""
         peer_ip = self.client_address[0] if self.client_address else ""

@@ -28,6 +28,7 @@ An ``Authorization: Bearer <key>`` header is forwarded as the session
 
 from __future__ import annotations
 
+import base64
 import email.parser
 import email.policy
 import io
@@ -43,6 +44,7 @@ from ...errors import ERROR_HTTP_STATUS_MAP, ErrorCode, http_payload_for
 from ...gen import stt_pb2
 from ...utils.logging import LOGGER
 from ...utils.subtitles import cues_from_results, render_srt, render_vtt
+from .ws_server import _peer_for_ws
 
 _CHUNK_MS = 500
 _ERR_RE = re.compile(r"ERR\d{4}")
@@ -75,8 +77,11 @@ class RestContext:
     disconnect callbacks, trailing metadata, abort.
     """
 
-    def __init__(self, peer: str) -> None:
+    def __init__(
+        self, peer: str, metadata: Optional[List[Tuple[str, str]]] = None
+    ) -> None:
         self._peer_label = peer
+        self._invocation_md = list(metadata or [])
         self._on_close: List[Any] = []
         self._open = True
         self.trailing_metadata = None
@@ -88,7 +93,7 @@ class RestContext:
         return self._open
 
     def invocation_metadata(self):
-        return []
+        return self._invocation_md
 
     def set_trailing_metadata(self, metadata):
         self.trailing_metadata = metadata
@@ -138,25 +143,59 @@ def parse_wav_bytes(data: bytes) -> Tuple[bytes, int]:
     return frames, rate
 
 
+def _multipart_boundary(content_type: str) -> bytes:
+    for param in content_type.split(";")[1:]:
+        key, _, val = param.strip().partition("=")
+        if key.strip().lower() == "boundary":
+            return val.strip().strip('"').encode("utf-8", "replace")
+    return b""
+
+
 def parse_multipart(
     content_type: str, body: bytes
 ) -> Tuple[Dict[str, str], Optional[bytes]]:
-    """multipart/form-data → ({text fields}, file bytes or None)."""
-    head = (
-        f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n"
-    ).encode("ascii", "replace")
-    msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
-        head + body
-    )
+    """multipart/form-data → ({text fields}, file bytes or None).
+
+    Splits the raw bytes on the boundary directly; only each part's tiny
+    header block goes through the email parser. Routing the WHOLE body
+    through ``email.BytesParser`` (the obvious one-liner) surrogate-
+    escapes the binary payload into str and back — ~5x transient memory
+    per request, which on a threaded server defeats the 413 body cap's
+    purpose of bounding per-request RAM.
+    """
     fields: Dict[str, str] = {}
     file_bytes: Optional[bytes] = None
-    if not msg.is_multipart():
+    boundary = _multipart_boundary(content_type)
+    if not boundary:
         return fields, None
-    for part in msg.iter_parts():
+    header_parser = email.parser.BytesParser(policy=email.policy.default)
+    for segment in body.split(b"--" + boundary)[1:]:
+        if segment[:2] == b"--":
+            break  # closing delimiter
+        if segment[:2] == b"\r\n":
+            segment = segment[2:]
+        elif segment[:1] == b"\n":
+            segment = segment[1:]
+        head, sep, payload = segment.partition(b"\r\n\r\n")
+        if not sep:
+            head, sep, payload = segment.partition(b"\n\n")
+            if not sep:
+                continue
+        # the CRLF before the next delimiter belongs to the delimiter
+        if payload[-2:] == b"\r\n":
+            payload = payload[:-2]
+        elif payload[-1:] == b"\n":
+            payload = payload[:-1]
+        part = header_parser.parsebytes(head + b"\r\n\r\n")
         name = part.get_param("name", header="content-disposition")
         if not name:
             continue
-        payload = part.get_payload(decode=True) or b""
+        cte = str(part.get("content-transfer-encoding", "")).strip().lower()
+        if cte == "base64":
+            try:
+                payload = base64.b64decode(payload, validate=False)
+            except Exception:
+                pass
         if name == "file":
             file_bytes = payload
         else:
@@ -194,24 +233,19 @@ def _chunks(
         idx = end
 
 
-def _http_status_for_abort(details: str) -> int:
+def _abort_response(details: str) -> Tuple[int, Dict[str, str]]:
+    """Abort details → (http status, error payload), one ERR-code parse."""
     match = _ERR_RE.search(details or "")
     if match:
         try:
-            return ERROR_HTTP_STATUS_MAP[ErrorCode(match.group(0))]
-        except (KeyError, ValueError):
-            pass
-    return 400
-
-
-def _abort_payload(details: str) -> Dict[str, str]:
-    match = _ERR_RE.search(details or "")
-    if match:
-        try:
-            return http_payload_for(ErrorCode(match.group(0)), details)
+            code = ErrorCode(match.group(0))
+            return (
+                ERROR_HTTP_STATUS_MAP.get(code, 400),
+                http_payload_for(code, details),
+            )
         except ValueError:
             pass
-    return {"code": "aborted", "message": details or "request aborted"}
+    return 400, {"code": "aborted", "message": details or "request aborted"}
 
 
 def _bad_request(message: str) -> Tuple[int, str, Any]:
@@ -316,7 +350,13 @@ def handle_transcription(
     if model_id:
         attributes["model_id"] = model_id
 
-    session_id = f"rest-{uuid.uuid4().hex[:12]}"
+    # signed_token auth signs "session_id:ts", so the client must be able
+    # to choose the session_id it signed (same as gRPC/WS); anonymous
+    # uploads get a generated one
+    session_id = (
+        (fields.get("session_id") or "").strip()
+        or f"rest-{uuid.uuid4().hex[:12]}"
+    )
     request = stt_pb2.SessionRequest(
         session_id=session_id,
         attributes=attributes,
@@ -326,7 +366,15 @@ def handle_transcription(
         task=_TASK_ALIASES.get(task_name, stt_pb2.TASK_UNSPECIFIED),
         decode_profile=_PROFILE_ALIASES[profile_name],
     )
-    context = RestContext(peer=f"ipv4:{client_ip}:0")
+    # the signed-token auth gauntlet reads invocation metadata
+    # (authorization / x-stt-auth + x-stt-auth-ts) — forward the HTTP
+    # headers so REST requests authenticate exactly like gRPC/WS ones
+    metadata = (
+        [(str(k).lower(), str(v)) for k, v in headers.items()]
+        if headers
+        else []
+    )
+    context = RestContext(peer=_peer_for_ws(client_ip), metadata=metadata)
     try:
         response = runtime.create_session_handler.handle(request, context)
         token = response.token if response.token_required else ""
@@ -336,11 +384,8 @@ def handle_transcription(
             )
         )
     except RestAbort as exc:
-        return (
-            _http_status_for_abort(exc.details),
-            "application/json",
-            _abort_payload(exc.details),
-        )
+        status, payload = _abort_response(exc.details)
+        return status, "application/json", payload
     finally:
         context.close()
     content_type, payload = format_response(

@@ -295,3 +295,143 @@ def test_oversized_body_rejected_before_buffering(runtime, monkeypatch):
             assert "text" in json.loads(resp.read())
     finally:
         handle.stop(timeout=5)
+
+
+# -- round-4 review regressions ----------------------------------------------
+
+
+def test_parse_multipart_lf_only_and_binary_crlf():
+    # LF-only separators (sloppy client) and CRLF bytes inside the payload
+    boundary = "bb"
+    payload = b"\x00\r\n\x01\xff--not-a-boundary\r\n"
+    body = (
+        b"--bb\nContent-Disposition: form-data; name=\"file\"\n\n"
+        + payload
+        + b"\n--bb\nContent-Disposition: form-data; name=\"language\"\n\nen\n--bb--\n"
+    )
+    fields, file_bytes = parse_multipart(
+        f"multipart/form-data; boundary={boundary}", body
+    )
+    assert fields == {"language": "en"}
+    assert file_bytes == payload
+
+
+def test_parse_multipart_base64_transfer_encoding():
+    import base64 as b64
+
+    raw = bytes(range(256))
+    body = (
+        b"--bb\r\nContent-Disposition: form-data; name=\"file\"\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        + b64.b64encode(raw)
+        + b"\r\n--bb--\r\n"
+    )
+    _, file_bytes = parse_multipart("multipart/form-data; boundary=bb", body)
+    assert file_bytes == raw
+
+
+def test_rest_context_forwards_metadata_and_ipv6_peer():
+    from stt_tpu.server.application.session_manager import extract_client_ip
+    from stt_tpu.server.transport.rest_transcribe import RestContext
+    from stt_tpu.server.transport.ws_server import _peer_for_ws
+
+    ctx = RestContext(
+        peer=_peer_for_ws("2001:db8::1"),
+        metadata=[("authorization", "Bearer sig")],
+    )
+    # per-IP caps/limits must key on the full IPv6 address, not its
+    # first hextet (the old "ipv4:2001:db8::1:0" label truncated at ":")
+    assert extract_client_ip(ctx) == "2001:db8::1"
+    assert ctx.invocation_metadata() == [("authorization", "Bearer sig")]
+
+
+def test_signed_token_auth_over_rest():
+    """The HMAC gauntlet must see the HTTP headers as invocation
+    metadata, and the client must be able to supply the session_id its
+    signature covers (regression: RestContext returned [] metadata, so
+    signed_token deployments got ERR1014 on every REST request)."""
+    import hashlib
+    import hmac as hmac_mod
+    import time as time_mod
+
+    secret = "resttopsecret"
+    cfg = ServerConfig(
+        model="tiny", model_backend="fake", device="cpu",
+        adaptive_throttle_enabled=False,
+        create_session_auth_profile="signed_token",
+        create_session_auth_secret=secret,
+    )
+    rt = ApplicationRuntime(cfg)
+    try:
+        auth_plane = HttpPlane(rt, {"grpc_running": True})
+        body = wav_bytes()
+
+        # no auth headers -> the gauntlet's ERR1014, mapped to HTTP
+        status, _, payload = post(
+            auth_plane, body, headers={"content-type": "audio/wav"}
+        )
+        assert status == 401, payload
+        assert "ERR1014" in json.dumps(payload)
+
+        # signed request: client picks the session_id it signs
+        session_id = "rest-signed-1"
+        ts = int(time_mod.time())
+        sig = hmac_mod.new(
+            secret.encode(), f"{session_id}:{ts}".encode(), hashlib.sha256
+        ).hexdigest()
+        status, _, payload = post(
+            auth_plane, body,
+            query={"session_id": [session_id]},
+            headers={
+                "content-type": "audio/wav",
+                "authorization": f"Bearer {sig}",
+                "x-stt-auth-ts": str(ts),
+            },
+        )
+        assert status == 200, payload
+        assert payload["text"].strip()
+    finally:
+        rt.shutdown(drain_timeout_sec=2.0)
+
+
+def test_max_body_bytes_hostile_env_values(monkeypatch):
+    from stt_tpu.server.transport.http_server import (
+        _HTTP_MAX_BODY_MB_DEFAULT,
+        _max_body_bytes,
+    )
+
+    default = int(_HTTP_MAX_BODY_MB_DEFAULT * 1024 * 1024)
+    for hostile in ("nan", "-1", "garbage", "1e309-junk"):
+        monkeypatch.setenv("STT_HTTP_MAX_BODY_MB", hostile)
+        assert _max_body_bytes() == default, hostile
+    # inf / overflowing values disable the cap instead of crashing
+    import sys as sys_mod
+
+    for huge in ("inf", "1e309"):
+        monkeypatch.setenv("STT_HTTP_MAX_BODY_MB", huge)
+        assert _max_body_bytes() == sys_mod.maxsize, huge
+    monkeypatch.setenv("STT_HTTP_MAX_BODY_MB", "0.5")
+    assert _max_body_bytes() == 512 * 1024
+
+
+def test_malformed_content_length_is_400(runtime):
+    import http.client
+
+    from stt_tpu.server.transport.http_server import start_http_server
+
+    handle = start_http_server(runtime, {"grpc_running": True},
+                               "127.0.0.1", 0)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", handle.port,
+                                          timeout=5)
+        conn.putrequest("POST", "/v1/audio/transcriptions",
+                        skip_accept_encoding=True)
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 400
+        assert payload["code"] == "invalid_request"
+        conn.close()
+    finally:
+        handle.stop()
