@@ -655,6 +655,11 @@ def exec_fingerprint(
         from stt_tpu.models.presets import WHISPER_LANG_CODES, token_layout
         h.update(repr(tuple(token_layout(n_vocab))).encode())
         h.update(",".join(WHISPER_LANG_CODES).encode())
+    # head_dim is DERIVED in presets.py (n_text_state // n_text_head today)
+    # and shapes every KV cache; hash the derived value so a change to the
+    # derivation (e.g. padding to a tile multiple) invalidates artifacts
+    # even though the raw config fields stay identical
+    h.update(str(getattr(config, "head_dim", "")).encode())
     h.update(str(dtype).encode())
     h.update(b"pallas" if use_pallas else b"xla")
     # max_decode_tokens changes the compiled decode-loop bound (via

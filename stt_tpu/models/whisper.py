@@ -26,7 +26,6 @@ projections bias-free, logits tied to the token embedding).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import math
 import os

@@ -1158,3 +1158,15 @@ def test_exec_fingerprint_ignores_preset_additions_not_semantics(monkeypatch):
         list(reversed(presets.WHISPER_LANG_CODES)),
     )
     assert exec_fingerprint(dev, config, jnp.bfloat16, True, 224) != before
+    monkeypatch.undo()
+
+    # head_dim is derived, not a raw field: a changed derivation (same
+    # field values) must still invalidate — it shapes every KV cache
+    class PaddedHeadDim(presets.WhisperConfig):
+        @property
+        def head_dim(self):  # e.g. padded to a 128-lane tile
+            return 128
+
+    padded = PaddedHeadDim(**dataclasses.asdict(config))
+    assert padded.__dict__ == config.__dict__
+    assert exec_fingerprint(dev, padded, jnp.bfloat16, True, 224) != before
