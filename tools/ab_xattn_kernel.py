@@ -43,7 +43,13 @@ def main():
     parser.add_argument("--steps", type=int, default=40)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--kv-dtype", default="fp8",
-                        choices=["fp8", "bf16"])
+                        choices=["fp8", "bf16", "int8", "int4"],
+                        help="int8/int4 store quantized K/V with per-"
+                             "(layer,row,head) f32 scales dequantized in "
+                             "the matmul read (einsum variant only) — "
+                             "measures whether halving/quartering the "
+                             "dominant cross-KV HBM stream beats the "
+                             "dequant cost, as fp8 did vs bf16")
     parser.add_argument("--variants", default="einsum,vpu")
     args = parser.parse_args()
 
@@ -54,7 +60,12 @@ def main():
     from stt_tpu.ops.pallas.xattn_decode import xattn_decode
 
     b, h, ta, dh, nl = args.b, args.heads, args.ta, args.dh, args.layers
-    store = jnp.float8_e4m3fn if args.kv_dtype == "fp8" else jnp.bfloat16
+    quant_bits = {"int8": 8, "int4": 4}.get(args.kv_dtype, 0)
+    if quant_bits:
+        store = jnp.int8 if quant_bits == 8 else jnp.int4
+    else:
+        store = (jnp.float8_e4m3fn if args.kv_dtype == "fp8"
+                 else jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(rng, 3)
     t0 = time.monotonic()
@@ -63,17 +74,27 @@ def main():
     # per-layer normals: a single (nl, b, h, ta, dh) f32 normal peaks at
     # ~12 GB HBM before the fp8 cast — layerwise stays ~1 GB per step
     def kv_stack(key):
-        layers = []
+        layers, scales = [], []
+        qmax = float(2 ** (quant_bits - 1) - 1) if quant_bits else 0.0
         for li in range(nl):
             key, sub = jax.random.split(key)
-            layers.append(
-                jax.random.normal(sub, (b, h, ta, dh), jnp.float32)
-                .astype(store)
-            )
-        return jnp.stack(layers)
+            x = jax.random.normal(sub, (b, h, ta, dh), jnp.float32)
+            if quant_bits:
+                # symmetric per-(row,head) scale, as a serving engine
+                # would compute at cross-KV write time
+                s = jnp.max(jnp.abs(x), axis=(2, 3), keepdims=True) / qmax
+                layers.append(
+                    jnp.round(x / s).clip(-qmax, qmax).astype(store)
+                )
+                scales.append(s.astype(jnp.float32))
+            else:
+                layers.append(x.astype(store))
+        return jnp.stack(layers), (
+            jnp.stack(scales) if quant_bits else None
+        )
 
-    k = kv_stack(kk)
-    v = kv_stack(kv)
+    k, k_scale = kv_stack(kk)
+    v, v_scale = kv_stack(kv)
     log(f"inputs dispatched {time.monotonic() - t0:.1f}s")
     # tiny fetch: materializes the inputs AND opens the device->host
     # transfer channel (first readback pays ~90s setup on the tunnel)
@@ -84,7 +105,11 @@ def main():
     float(np.asarray(jnp.max(v[-1, -1, -1, -1].astype(jnp.float32))))
     log(f"inputs materialized + channel open {time.monotonic() - t0:.1f}s")
 
-    kv_bytes = 2 * nl * b * h * ta * dh * jnp.dtype(store).itemsize
+    bytes_per_elem = (quant_bits / 8.0 if quant_bits
+                      else jnp.dtype(store).itemsize)
+    kv_bytes = 2 * nl * b * h * ta * dh * bytes_per_elem
+    if quant_bits:
+        kv_bytes += 2 * nl * b * h * 4  # per-(row,head) f32 scales
     floor_ms = kv_bytes / 819e9 * 1e3
     log(f"K/V per step: {kv_bytes / 1e6:.0f} MB "
         f"-> HBM floor {floor_ms:.2f} ms/step (v5e 819 GB/s)")
@@ -93,16 +118,20 @@ def main():
         # k/v must be jit ARGUMENTS, not closures: closed-over device
         # arrays lower as embedded HLO constants — ~6 GB of constant
         # data serialized into the program (minutes of "compile")
-        def layer_pass(q, kk_, vv_):
+        def layer_pass(q, kk_, vv_, ks_, vs_):
             for li in range(nl):
-                out = op(q, kk_[li], vv_[li])  # static index per layer
+                if ks_ is None:
+                    out = op(q, kk_[li], vv_[li])  # static index/layer
+                else:
+                    out = op(q, kk_[li], vv_[li], ks_[li], vs_[li])
                 q = q + 0.001 * out.astype(q.dtype)
             return q
 
         @jax.jit
-        def run(q, kk_, vv_):
+        def run(q, kk_, vv_, ks_, vs_):
             return jax.lax.fori_loop(
-                0, args.steps, lambda s, qq: layer_pass(qq, kk_, vv_), q
+                0, args.steps,
+                lambda s, qq: layer_pass(qq, kk_, vv_, ks_, vs_), q
             )[0, 0, 0]
 
         return run
@@ -111,9 +140,22 @@ def main():
         # "mm@4" = variant mm with rows_per_block=4 (G sweep); bare
         # names use the variant's auto G
         if name == "einsum":
+            if quant_bits:
+                def deq_einsum(q, kk_, vv_, ks_, vs_):
+                    # convert+scale fuses into the matmul read stream
+                    # (same mechanism that made fp8 storage free)
+                    kb = kk_.astype(jnp.bfloat16) * ks_.astype(jnp.bfloat16)
+                    vb = vv_.astype(jnp.bfloat16) * vs_.astype(jnp.bfloat16)
+                    return _attn_cached(q[:, :, None, :], kb, vb)[:, :, 0, :]
+                return deq_einsum
             return lambda q, kk_, vv_: _attn_cached(
                 q[:, :, None, :], kk_, vv_
             )[:, :, 0, :]
+        if quant_bits:
+            raise SystemExit(
+                f"--kv-dtype {args.kv_dtype} is einsum-only (the Pallas "
+                "variants are settled-NO and have no dequant path)"
+            )
         variant, _, g = name.partition("@")
         rows = int(g) if g else 0
         return lambda q, kk_, vv_: xattn_decode(
@@ -124,16 +166,16 @@ def main():
     for name in [x.strip() for x in args.variants.split(",") if x.strip()]:
         run = build(op_for(name))
         t0 = time.monotonic()
-        compiled = run.lower(q0, k, v).compile()
+        compiled = run.lower(q0, k, v, k_scale, v_scale).compile()
         log(f"{name}: compile {time.monotonic() - t0:.1f}s")
         run = compiled
         t0 = time.monotonic()
-        float(np.asarray(run(q0, k, v)))  # first execute (finalization)
+        float(np.asarray(run(q0, k, v, k_scale, v_scale)))  # first execute
         log(f"{name}: first execute {time.monotonic() - t0:.1f}s")
         walls = []
         for _ in range(args.reps):
             t0 = time.monotonic()
-            float(np.asarray(run(q0, k, v)))
+            float(np.asarray(run(q0, k, v, k_scale, v_scale)))
             walls.append(time.monotonic() - t0)
         per_step_ms = sorted(walls)[len(walls) // 2] / args.steps * 1e3
         results[name] = round(per_step_ms, 3)
