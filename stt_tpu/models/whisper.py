@@ -483,22 +483,36 @@ def init_kv_cache(
 # Cross-KV storage dtype: decode steps stream the full cross K/V from HBM
 # every token (~1 GB/step for a 64x10s batch — the per-step bandwidth
 # floor), so an 8-bit storage format cuts the dominant term (measured
-# -15% on the 64x10s decode loop, v5e). fp8_e4m3 perturbs attention
-# logits below the noise floor of the surrounding bf16 matmuls —
-# transcripts are bit-identical to bf16 storage on the test models
-# (test_engine.py::test_fp8_cross_kv_transcript_parity) — and the
-# reference itself serves quantized by default in its fast path
-# (faster_whisper compute_type int8_float16). Applies only when the
-# compute dtype is bfloat16; set STT_CROSS_KV_DTYPE=bf16 for exact
-# bf16-storage parity.
-CROSS_KV_DTYPE = os.getenv("STT_CROSS_KV_DTYPE", "fp8").strip().lower()
+# -15% on the 64x10s decode loop, v5e). The default is int8 with
+# per-(row,head) symmetric scales: same byte width as the earlier fp8
+# default and measured end-to-end neutral against it (RTFx 1597 vs 1601
+# at 64x10s, within round noise), but ~8x finer quantization within
+# each (row, head)'s range (e4m3 keeps 3 mantissa bits; int8 ~7.9
+# effective bits after scaling) — it shrinks the one default-on
+# numeric approximation the serving path carries, and int8 is the
+# reference's own quantization practice (faster_whisper
+# int8_float16). Transcripts are token-identical to bf16 storage on
+# the test models for BOTH formats
+# (test_engine.py::test_quantized_cross_kv_transcript_parity); verify
+# on a real checkpoint with tools/validate_real_weights.py. Applies
+# only when the compute dtype is bfloat16; values: int8 (default),
+# fp8, bf16 (exact storage).
+CROSS_KV_DTYPE = os.getenv("STT_CROSS_KV_DTYPE", "int8").strip().lower()
 
 
 def _cross_store_dtype(compute_dtype):
-    if CROSS_KV_DTYPE in ("fp8", "f8", "float8", "fp8_e4m3") and (
-        compute_dtype == jnp.bfloat16
-    ):
+    if compute_dtype != jnp.bfloat16:
+        return None
+    if CROSS_KV_DTYPE in ("fp8", "f8", "float8", "fp8_e4m3"):
         return jnp.float8_e4m3fn
+    # int8 with per-(row,head) symmetric scales: same byte width as fp8
+    # but ~8x finer quantization within each (row, head)'s range, and the
+    # scales fold into the tiny per-step q/output tensors so the large
+    # K/V reads stay a pure fused int8->bf16 convert. Device A/B at the
+    # 64x10s decode point: 1.499 ms/step vs fp8's 1.906 (1.27x, 48% of
+    # HBM peak) — tools/ab_xattn_kernel.py --kv-dtype int8.
+    if CROSS_KV_DTYPE in ("int8", "i8"):
+        return jnp.int8
     return None
 
 
@@ -591,20 +605,88 @@ def _tok_dtype(dec):
     return jnp.bfloat16 if isinstance(tok, dict) else tok.dtype
 
 
-def precompute_cross_kv(params, enc_out, n_head):
-    """Cross-attention K/V for all layers, head-split and k pre-scaled:
-    (L, B, H, T_audio, Dh) each. Computed once per window; every decode
-    step then attends without re-transposing the (large) audio K/V."""
+class CrossKV(NamedTuple):
+    """Precomputed cross-attention K/V, head-split and k pre-scaled:
+    (L, B, H, T_audio, Dh) each. ``k_scale``/``v_scale`` are the
+    per-(layer, row, head) symmetric dequant scales (L, B, H, 1, 1) f32
+    when storage is int8, else None."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
+
+
+def precompute_cross_kv(params, enc_out, n_head) -> CrossKV:
+    """Cross-attention K/V for all layers. Computed once per window;
+    every decode step then attends without re-transposing the (large)
+    audio K/V."""
     blocks = params["decoder"]["blocks"]
     scale = (enc_out.shape[-1] // n_head) ** -0.25
     store = _cross_store_dtype(enc_out.dtype) or enc_out.dtype
 
-    def per_layer(block):
+    def kv_layer(block):
         k = _split_heads(_linear(enc_out, block["xattn"]["k"]), n_head)
         v = _split_heads(_linear(enc_out, block["xattn"]["v"]), n_head)
-        return (k * scale).astype(store), v.astype(store)
+        return k * scale, v
 
-    return jax.lax.map(per_layer, blocks)  # tuple of (L, B, H, Ta, Dh)
+    if store == jnp.int8:
+        def per_layer_q(block):
+            def q8(x):
+                xf = x.astype(jnp.float32)
+                s = jnp.max(jnp.abs(xf), axis=(2, 3), keepdims=True) / 127.0
+                s = jnp.maximum(s, 1e-12)
+                return jnp.round(xf / s).astype(jnp.int8), s
+
+            k, v = kv_layer(block)
+            kq, ks = q8(k)
+            vq, vs = q8(v)
+            return kq, vq, ks, vs
+
+        kq, vq, ks, vs = jax.lax.map(per_layer_q, blocks)
+        return CrossKV(kq, vq, ks, vs)
+
+    def per_layer(block):
+        k, v = kv_layer(block)
+        return k.astype(store), v.astype(store)
+
+    k, v = jax.lax.map(per_layer, blocks)
+    return CrossKV(k, v, None, None)
+
+
+def _cross_dequant(ckv: CrossKV):
+    """(k, v) in compute dtype. Materializes dequantized copies — for the
+    one-shot teacher-forced passes (train oracle, DTW timing) only; the
+    per-token decode loops read storage dtype via _cross_layer_attn."""
+    if ckv.k_scale is None:
+        return ckv.k, ckv.v
+    k = ckv.k.astype(jnp.bfloat16) * ckv.k_scale.astype(jnp.bfloat16)
+    v = ckv.v.astype(jnp.bfloat16) * ckv.v_scale.astype(jnp.bfloat16)
+    return k, v
+
+
+def _cross_layer_attn(qx, cross_kv: CrossKV, li):
+    """Cross-attention for one (unrolled) layer against the stored-dtype
+    K/V. int8 storage folds the per-(row,head) scales into the tiny q
+    and output tensors — logits = (q*ks)·kq and out = (w·vq)*vs are
+    exact since the scales are scalar per (row, head) — so the large
+    K/V only pay a fused convert on the operand read."""
+    ck, cv = cross_kv.k[li], cross_kv.v[li]
+    if cross_kv.k_scale is not None:
+        qx = qx * cross_kv.k_scale[li].astype(qx.dtype)
+        out = _attn_cached(qx, ck.astype(qx.dtype), cv.astype(qx.dtype))
+        return out * cross_kv.v_scale[li].astype(out.dtype)
+    if qx.shape[2] == 1 and _xattn_kernel_applicable():
+        from ..ops.pallas.xattn_decode import xattn_decode
+
+        variant = (
+            XATTN_KERNEL if XATTN_KERNEL in ("mxu", "vpu", "mm", "mmd")
+            else "mm"
+        )
+        return xattn_decode(
+            qx[:, :, 0, :], ck, cv, variant=variant
+        )[:, :, None, :]
+    return _attn_cached(qx, ck, cv)
 
 
 def _attn_cached(qh, kh, vh, mask=None):
@@ -670,7 +752,6 @@ def _decoder_step(
         slot_ids[None, :] == pos[:, None] if vec_pos else None
     )  # (B, T_max) one-hot column selector per row
 
-    xk, xv = cross_kv
     k_cache, v_cache = cache.k, cache.v
     n_layers = k_cache.shape[0]
 
@@ -684,7 +765,6 @@ def _decoder_step(
     h = x
     for li in range(n_layers):
         block = jax.tree_util.tree_map(lambda a: a[li], dec["blocks"])
-        ck, cv = xk[li], xv[li]
         # self-attention against the head-split cache (k stored pre-scaled)
         hn = _layer_norm(h, block["ln1"])
         qh = _split_heads(_linear(hn, block["attn"]["q"]), n_head) * scale
@@ -717,20 +797,7 @@ def _decoder_step(
         # cross-attention (precomputed, pre-split, pre-scaled K/V)
         hx = _layer_norm(h, block["ln_x"])
         qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
-        if _xattn_kernel_applicable():
-            from ..ops.pallas.xattn_decode import xattn_decode
-
-            variant = (
-                XATTN_KERNEL if XATTN_KERNEL in ("mxu", "vpu", "mm",
-                                                 "mmd")
-                else "mm"
-            )
-            x_out = xattn_decode(
-                qx[:, :, 0, :], ck, cv, variant=variant
-            )[:, :, None, :]
-            x_out = x_out.astype(h.dtype)
-        else:
-            x_out = _attn_cached(qx, ck, cv).astype(h.dtype)
+        x_out = _cross_layer_attn(qx, cross_kv, li).astype(h.dtype)
         h = h + _linear(_merge_heads(x_out), block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
 
@@ -758,13 +825,11 @@ def _prefill_parallel(params, tokens, width, cache: KVCache, cross_kv, n_head):
         jnp.arange(width)[None, :] <= jnp.arange(width)[:, None],
         0.0, -jnp.inf,
     )[None, None]
-    xk, xv = cross_kv
     k_cache, v_cache = cache.k, cache.v
     n_layers = k_cache.shape[0]
     h = x
     for li in range(n_layers):
         block = jax.tree_util.tree_map(lambda a: a[li], dec["blocks"])
-        ck, cv = xk[li], xv[li]
         hn = _layer_norm(h, block["ln1"])
         qh = _split_heads(_linear(hn, block["attn"]["q"]), n_head) * scale
         k_new = (
@@ -783,7 +848,7 @@ def _prefill_parallel(params, tokens, width, cache: KVCache, cross_kv, n_head):
         h = h + _linear(_merge_heads(attn_out), block["attn"]["o"])
         hx = _layer_norm(h, block["ln_x"])
         qx = _split_heads(_linear(hx, block["xattn"]["q"]), n_head) * scale
-        x_out = _attn_cached(qx, ck, cv).astype(h.dtype)
+        x_out = _cross_layer_attn(qx, cross_kv, li).astype(h.dtype)
         h = h + _linear(_merge_heads(x_out), block["xattn"]["o"])
         h = h + _mlp(_layer_norm(h, block["ln2"]), block["mlp"])
     return h, KVCache(k_cache, v_cache)
@@ -853,7 +918,7 @@ def decoder_forward(
     causal = jnp.where(
         jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
     )[None, None]
-    xk, xv = precompute_cross_kv(params, enc_out, n_head)
+    xk, xv = _cross_dequant(precompute_cross_kv(params, enc_out, n_head))
     scale = (x.shape[-1] // n_head) ** -0.25
 
     def layer(h, inputs):
@@ -1450,7 +1515,9 @@ def cross_attention_weights(
     causal = jnp.where(
         jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -jnp.inf
     )[None, None]
-    xk, xv = precompute_cross_kv(params, enc_out, n_head)  # (L, B, H, Ta, Dh)
+    xk, xv = _cross_dequant(
+        precompute_cross_kv(params, enc_out, n_head)
+    )  # (L, B, H, Ta, Dh)
     n_layers = jax.tree.leaves(dec["blocks"])[0].shape[0]
     k_layers = max(1, min(n_align_layers, n_layers))
     split = n_layers - k_layers

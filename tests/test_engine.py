@@ -482,7 +482,7 @@ def test_committed_exec_artifacts_match_current_fingerprint():
                  if p.is_dir()}
     if not committed:
         pytest.skip("no committed exec-cache artifacts")
-    defaults = dict(CROSS_KV_DTYPE="fp8", SELF_KV_DTYPE="bf16",
+    defaults = dict(CROSS_KV_DTYPE="int8", SELF_KV_DTYPE="bf16",
                     XATTN_KERNEL="off", DECODER_WEIGHTS_DTYPE="bf16")
     overridden = {k: getattr(W, k) for k, v in defaults.items()
                   if getattr(W, k) != v}
@@ -604,9 +604,10 @@ def test_exec_disk_cache_roundtrip(tmp_path, monkeypatch):
     eng2.close()
 
 
-def test_fp8_cross_kv_transcript_parity(monkeypatch):
-    """fp8 cross-KV storage (the bf16 serving default) must produce
-    token-identical transcripts to bf16 storage."""
+def test_quantized_cross_kv_transcript_parity(monkeypatch):
+    """fp8 AND int8 cross-KV storage must produce token-identical
+    transcripts to bf16 storage (int8 carries per-(row,head) scales,
+    folded exactly into q/output — see whisper._cross_layer_attn)."""
     import jax.numpy as jnp
 
     from stt_tpu.models import whisper as W
@@ -625,13 +626,14 @@ def test_fp8_cross_kv_transcript_parity(monkeypatch):
     prompt_len = jnp.full((2,), p_len, jnp.int32)
 
     outs = {}
-    for mode in ("bf16", "fp8"):
+    for mode in ("bf16", "fp8", "int8"):
         monkeypatch.setattr(W, "CROSS_KV_DTYPE", mode)
         cache = W.init_kv_cache(config, 2, p_len + 16, dtype=jnp.bfloat16)
         res = W.greedy_decode(params, enc, prompt, prompt_len, cache,
                               config, config.n_text_head, 16)
         outs[mode] = np.asarray(res.tokens)
     assert np.array_equal(outs["bf16"], outs["fp8"])
+    assert np.array_equal(outs["bf16"], outs["int8"])
 
 
 def test_mulaw_wire_roundtrip():

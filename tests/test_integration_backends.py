@@ -196,7 +196,7 @@ def test_real_weights_fp8_cross_kv_parity(monkeypatch):
         audio = (0.05 * rng.standard_normal(16000)).astype(np.float32)
 
     texts = {}
-    for mode in ("fp8", "bf16"):
+    for mode in ("fp8", "int8", "bf16"):
         monkeypatch.setenv("STT_CROSS_KV_DTYPE", mode)
         import stt_tpu.models.whisper as W_mod
 
@@ -214,11 +214,12 @@ def test_real_weights_fp8_cross_kv_parity(monkeypatch):
             backend.close()
     monkeypatch.delenv("STT_CROSS_KV_DTYPE")
     importlib.reload(importlib.import_module("stt_tpu.models.whisper"))
-    assert texts["fp8"] == texts["bf16"], (
-        "fp8 cross-KV storage changed the transcript on real weights - "
-        f"set STT_CROSS_KV_DTYPE=bf16 in this deployment:\n"
-        f"  fp8 : {texts['fp8']!r}\n  bf16: {texts['bf16']!r}"
-    )
+    for mode in ("fp8", "int8"):
+        assert texts[mode] == texts["bf16"], (
+            f"{mode} cross-KV storage changed the transcript on real "
+            "weights - set STT_CROSS_KV_DTYPE=bf16 in this deployment:\n"
+            f"  {mode}: {texts[mode]!r}\n  bf16: {texts['bf16']!r}"
+        )
 
 
 def test_serving_from_hf_checkpoint_dir(tmp_path):

@@ -42,7 +42,7 @@ def test_harness_lists_all_gates_skipped_without_artifacts(tmp_path):
     assert report["failed"] == 0 and report["passed"] == 0
     gates = {g["gate"]: g for g in report["gates"]}
     expected = {
-        "tokenizer_and_accuracy", "fp8_cross_kv_parity",
+        "tokenizer_and_accuracy", "quantized_cross_kv_parity",
         "mulaw_wire_parity", "int8_decoder_weights_parity",
         "drafted_partials_parity", "silero_end_to_end",
     }

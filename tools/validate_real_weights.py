@@ -47,12 +47,12 @@ MATRIX = [
         "contains the expected words",
     ),
     (
-        "fp8_cross_kv_parity",
+        "quantized_cross_kv_parity",
         "tests/test_integration_backends.py::"
         "test_real_weights_fp8_cross_kv_parity",
         ["STT_WEIGHTS_DIR"],
-        "fp8 cross-KV storage (serving default) keeps transcripts "
-        "identical to bf16 on the real checkpoint",
+        "int8 (serving default) and fp8 cross-KV storage keep "
+        "transcripts identical to bf16 on the real checkpoint",
     ),
     (
         "mulaw_wire_parity",
