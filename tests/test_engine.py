@@ -498,6 +498,45 @@ def test_committed_exec_artifacts_match_current_fingerprint():
         f"current-source fingerprint {fp}; traced sources changed after the "
         f"artifacts were built — rerun tools/aot_build_exec_cache.py"
     )
+    # size policy: ONE fingerprint dir. A stale sibling can never be loaded
+    # (its fingerprint matches no source tree) and costs ~330 MB per commit;
+    # the builder prunes them, so a leftover means a regen was committed
+    # by hand — delete the stale dir(s).
+    assert committed == {fp}, (
+        f"stale exec-cache dirs alongside {fp}: "
+        f"{sorted(committed - {fp})} — delete them (the AOT builder prunes "
+        f"these automatically; see --keep-stale)"
+    )
+
+
+def test_aot_builder_prunes_stale_fingerprint_dirs(tmp_path):
+    """The AOT builder's pruning helper removes sibling fingerprint dirs
+    (the one-dir size policy) while leaving the kept dir and loose files
+    untouched."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "aot_build_exec_cache",
+        Path(__file__).resolve().parents[1]
+        / "tools" / "aot_build_exec_cache.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    keep = tmp_path / "aaaa1111"
+    stale1 = tmp_path / "bbbb2222"
+    stale2 = tmp_path / "cccc3333"
+    for d in (keep, stale1, stale2):
+        d.mkdir()
+        (d / "serve.jexec").write_bytes(b"blob")
+    (tmp_path / "README").write_text("not a dir")
+
+    pruned = mod.prune_stale_dirs(tmp_path, "aaaa1111")
+    assert pruned == ["bbbb2222", "cccc3333"]
+    assert keep.is_dir() and (keep / "serve.jexec").exists()
+    assert not stale1.exists() and not stale2.exists()
+    assert (tmp_path / "README").exists()
 
 
 def test_submit_after_close_restarts_engine():

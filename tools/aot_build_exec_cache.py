@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -49,6 +50,20 @@ def parse_shapes(spec: str):
         sec, bsz, beam = part.split(":")
         out.append((float(sec), int(bsz), int(beam)))
     return out
+
+
+def prune_stale_dirs(out: Path, keep_fp: str) -> list[str]:
+    """Enforce the one-fingerprint-dir size policy: a sibling dir's
+    fingerprint no longer matches any source tree, so no host can ever
+    load it — round 4 left one such 330 MB dir behind when a regen
+    commit raced the round boundary. Non-directory entries are left
+    alone."""
+    pruned = []
+    for sib in sorted(out.iterdir()):
+        if sib.is_dir() and sib.name != keep_fp:
+            shutil.rmtree(sib)
+            pruned.append(sib.name)
+    return pruned
 
 
 def main() -> int:
@@ -75,6 +90,13 @@ def main() -> int:
                              "deployments; adds ~one serve-size blob per "
                              "shape, so the committed bench artifacts "
                              "leave it off)")
+    parser.add_argument("--keep-stale", action="store_true",
+                        help="keep sibling fingerprint dirs under --out "
+                             "instead of pruning them after a successful "
+                             "build (the committed-artifact size policy is "
+                             "ONE fingerprint dir; stale dirs can never be "
+                             "loaded — their fingerprint no longer matches "
+                             "any source tree)")
     args = parser.parse_args()
 
     import jax
@@ -175,6 +197,10 @@ def main() -> int:
         log(f"built {' + '.join(built[-3 if want_draft else -2:])} "
             f"in {time.monotonic() - t1:.1f}s")
 
+    pruned = [] if args.keep_stale else prune_stale_dirs(Path(args.out), fp)
+    for name in pruned:
+        log(f"pruned stale fingerprint dir {name}")
+
     sizes = {k: (out_dir / f"{k}.jexec").stat().st_size for k in built}
     print(json.dumps({
         "fingerprint": fp,
@@ -182,6 +208,7 @@ def main() -> int:
         "topology": args.topology,
         "device_kind": dev.device_kind,
         "artifacts": sizes,
+        "pruned_stale_dirs": pruned,
         "wall_s": round(time.monotonic() - t0, 1),
     }))
     return 0
