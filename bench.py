@@ -297,8 +297,9 @@ def main() -> None:
             p.name for p in __import__("pathlib").Path(exec_dir).glob("*")
             if p.is_dir()
         ) if os.path.isdir(exec_dir) else []
+        exec_cache_hit = fp in have_fps
         log(f"exec fingerprint {fp}; committed artifact dirs: "
-            f"{have_fps} ({'HIT' if fp in have_fps else 'MISS'})")
+            f"{have_fps} ({'HIT' if exec_cache_hit else 'MISS'})")
         # AOT mode: compiles land in the exec cache + persistent XLA cache
         # and fill the serving exec table; independent shapes compile on
         # parallel host threads. A cold host with the repo artifact
@@ -484,6 +485,7 @@ def main() -> None:
             "wall_min_s": round(best_wall, 3),
             "wall_max_s": round(walls[-1], 3),
             "compile_s": round(compile_sec, 1),
+            "exec_cache": "HIT" if exec_cache_hit else "MISS",
             "mfu_pct": round(mfu, 2),
             "effective_tflops": round(eff_tflops, 2),
             "partial_p95_ms": round(p95 * 1000, 1),
