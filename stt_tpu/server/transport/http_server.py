@@ -532,7 +532,10 @@ class HttpPlane:
                         self.runtime.model_registry.list_models()
                     ],
                 }
-            if method == "POST" and path == "/v1/audio/transcriptions":
+            if method == "POST" and path in (
+                "/v1/audio/transcriptions",
+                "/v1/audio/translations",
+            ):
                 if not _rest_transcribe_enabled():
                     return 404, "application/json", {
                         "code": "404", "message": "not found",
@@ -542,6 +545,11 @@ class HttpPlane:
                 return handle_transcription(
                     self.runtime, query, headers, body, client_ip,
                     _bearer_token(headers),
+                    # the OpenAI audio API splits translation into its own
+                    # endpoint; the alias pins task=translate
+                    force_task=(
+                        "translate" if path.endswith("/translations") else ""
+                    ),
                 )
             return 404, "application/json", {"code": "404", "message": "not found"}
         except STTError as exc:

@@ -299,8 +299,15 @@ def handle_transcription(
     body: bytes,
     client_ip: str,
     bearer_token: str,
+    force_task: str = "",
 ) -> Tuple[int, str, Any]:
-    """Full request flow; returns (status, content_type, payload)."""
+    """Full request flow; returns (status, content_type, payload).
+
+    ``force_task`` pins the Whisper task for alias routes
+    (``/v1/audio/translations`` forces ``translate``, matching the
+    OpenAI audio API's split endpoints); a request field naming a
+    DIFFERENT task is rejected rather than silently overridden.
+    """
     content_type = str(
         (headers.get("content-type") if headers else "") or ""
     )
@@ -329,6 +336,13 @@ def handle_transcription(
     task_name = (fields.get("task") or "").strip().lower()
     if task_name and task_name not in _TASK_ALIASES:
         return _bad_request("task must be 'transcribe' or 'translate'")
+    if force_task:
+        if task_name and task_name != force_task:
+            return _bad_request(
+                f"this endpoint always runs task '{force_task}'; "
+                f"use /v1/audio/transcriptions for task '{task_name}'"
+            )
+        task_name = force_task
     profile_name = (
         (fields.get("decode_profile") or "accurate").strip().lower()
     )

@@ -228,6 +228,47 @@ def test_disabled_via_env(plane, monkeypatch):
     assert status == 404
 
 
+# -- POST /v1/audio/translations (task=translate alias) -----------------------
+
+
+def test_translations_alias_forces_translate(plane):
+    body, ctype = multipart_body(
+        wav_bytes(), {"response_format": "verbose_json"}
+    )
+    status, _, payload = post(
+        plane, body, headers={"content-type": ctype},
+        path="/v1/audio/translations",
+    )
+    assert status == 200, payload
+    assert payload["task"] == "translate"
+    assert payload["text"].strip()
+
+
+def test_translations_alias_accepts_matching_task_field(plane):
+    status, _, payload = post(
+        plane, wav_bytes(), query={"task": ["translate"]},
+        path="/v1/audio/translations",
+    )
+    assert status == 200 and payload["text"].strip()
+
+
+def test_translations_alias_rejects_conflicting_task(plane):
+    status, _, payload = post(
+        plane, wav_bytes(), query={"task": ["transcribe"]},
+        path="/v1/audio/translations",
+    )
+    assert status == 400
+    assert "transcriptions" in payload["message"]
+
+
+def test_translations_disabled_via_env(plane, monkeypatch):
+    monkeypatch.setenv("STT_REST_TRANSCRIBE", "no")
+    status, _, _ = post(
+        plane, wav_bytes(), path="/v1/audio/translations"
+    )
+    assert status == 404
+
+
 def test_json_payload_serializable(plane):
     status, _, payload = post(
         plane, wav_bytes(), query={"response_format": ["verbose_json"]}
