@@ -32,6 +32,7 @@ import base64
 import email.parser
 import email.policy
 import io
+import json
 import re
 import uuid
 import wave
@@ -254,8 +255,32 @@ def _bad_request(message: str) -> Tuple[int, str, Any]:
     }
 
 
+def words_from_trailing(trailing) -> List[Dict[str, Any]]:
+    """``stt-word-timestamps`` trailing metadata → OpenAI-style words.
+
+    The proto carries segment times only; word-level times (the
+    ``word_timestamps`` decode option) ride the trailing metadata as
+    compact JSON ``[[start, end, text], ...]`` (see
+    ``orchestrator._finalize_stream``). Absent or unparseable metadata
+    yields an empty list — words are additive, never a failure.
+    """
+    for key, value in tuple(trailing or ()):
+        if key != "stt-word-timestamps":
+            continue
+        try:
+            return [
+                {"word": text, "start": start, "end": end}
+                for start, end, text in json.loads(value)
+            ]
+        except (ValueError, TypeError):
+            LOGGER.warning("unparseable stt-word-timestamps metadata")
+            return []
+    return []
+
+
 def format_response(
-    results: List, fmt: str, duration_sec: float, task: str
+    results: List, fmt: str, duration_sec: float, task: str,
+    words: Optional[List[Dict[str, Any]]] = None,
 ) -> Tuple[str, Any]:
     """Final STTResults → (content_type, payload) for ``response_format``."""
     finals = [r for r in results if r.is_final]
@@ -274,7 +299,7 @@ def format_response(
         language = next(
             (r.language_code for r in finals if r.language_code), ""
         )
-        return "application/json", {
+        payload = {
             "task": task or "transcribe",
             "language": language,
             "duration": round(duration_sec, 3),
@@ -289,6 +314,9 @@ def format_response(
                 for i, r in enumerate(finals)
             ],
         }
+        if words:
+            payload["words"] = words
+        return "application/json", payload
     return "application/json", {"text": text}
 
 
@@ -403,7 +431,8 @@ def handle_transcription(
     finally:
         context.close()
     content_type, payload = format_response(
-        results, fmt, duration_sec, task_name
+        results, fmt, duration_sec, task_name,
+        words=words_from_trailing(context.trailing_metadata),
     )
     return 200, content_type, payload
 
@@ -416,4 +445,5 @@ __all__ = [
     "handle_transcription",
     "parse_multipart",
     "parse_wav_bytes",
+    "words_from_trailing",
 ]

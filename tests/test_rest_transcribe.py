@@ -18,8 +18,10 @@ from stt_tpu.config.loader import ServerConfig
 from stt_tpu.server.runtime.runtime import ApplicationRuntime
 from stt_tpu.server.transport.http_server import HttpPlane
 from stt_tpu.server.transport.rest_transcribe import (
+    handle_transcription,
     parse_multipart,
     parse_wav_bytes,
+    words_from_trailing,
 )
 
 
@@ -275,6 +277,65 @@ def test_json_payload_serializable(plane):
     )
     assert status == 200
     json.dumps(payload)  # the HTTP layer json-encodes dict payloads
+
+
+# -- word timestamps in verbose_json ------------------------------------------
+
+
+def test_words_from_trailing_parses_and_tolerates_garbage():
+    meta = (
+        ("stt-decode-count", "3"),
+        ("stt-word-timestamps", '[[0.0,0.42,"hi"],[0.42,1.0,"there"]]'),
+    )
+    assert words_from_trailing(meta) == [
+        {"word": "hi", "start": 0.0, "end": 0.42},
+        {"word": "there", "start": 0.42, "end": 1.0},
+    ]
+    assert words_from_trailing(None) == []
+    assert words_from_trailing((("stt-word-timestamps", "not json"),)) == []
+    assert words_from_trailing((("other", "x"),)) == []
+
+
+def test_verbose_json_includes_words_when_profile_emits_them():
+    # stub runtime: the orchestrator sets the same trailing metadata the
+    # real _finalize_stream emits when word_timestamps is enabled
+    import types
+
+    class _Handler:
+        def handle(self, request, context):
+            return types.SimpleNamespace(token="", token_required=False)
+
+    class _Orchestrator:
+        def run(self, chunks, context):
+            list(chunks)
+            context.set_trailing_metadata((
+                ("stt-word-timestamps", '[[0.0,0.5,"zu"],[0.5,1.0,"zo"]]'),
+            ))
+            yield types.SimpleNamespace(
+                is_final=True, text=" zu zo", start_sec=0.0, end_sec=1.0,
+                language_code="en",
+            )
+
+    runtime = types.SimpleNamespace(
+        create_session_handler=_Handler(), stream_orchestrator=_Orchestrator()
+    )
+    status, ctype, payload = handle_transcription(
+        runtime, {"response_format": ["verbose_json"]}, {}, wav_bytes(),
+        "9.8.252.1", "",
+    )
+    assert status == 200, payload
+    assert payload["words"] == [
+        {"word": "zu", "start": 0.0, "end": 0.5},
+        {"word": "zo", "start": 0.5, "end": 1.0},
+    ]
+
+
+def test_verbose_json_omits_words_without_metadata(plane):
+    # the fake backend does not emit word timings -> no "words" key
+    status, _, payload = post(
+        plane, wav_bytes(), query={"response_format": ["verbose_json"]}
+    )
+    assert status == 200 and "words" not in payload
 
 
 # -- GET /v1/models ----------------------------------------------------------
