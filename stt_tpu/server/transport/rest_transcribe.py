@@ -200,7 +200,15 @@ def parse_multipart(
         if name == "file":
             file_bytes = payload
         else:
-            fields[str(name)] = payload.decode("utf-8", "replace").strip()
+            value = payload.decode("utf-8", "replace").strip()
+            name = str(name)
+            if name in fields:
+                # repeated form fields (OpenAI sends one
+                # `timestamp_granularities[]` part per value) accumulate
+                # comma-joined; consumers split on comma
+                fields[name] = f"{fields[name]},{value}"
+            else:
+                fields[name] = value
     return fields, file_bytes
 
 
@@ -255,6 +263,40 @@ def _bad_request(message: str) -> Tuple[int, str, Any]:
     }
 
 
+GRANULARITIES = ("word", "segment")
+
+
+def parse_granularities(
+    query: Dict[str, List[str]], fields: Dict[str, str]
+) -> Optional[set]:
+    """``timestamp_granularities`` request values → set, or None if unset.
+
+    Accepts the OpenAI field in both spellings (``timestamp_granularities``
+    and the form-array ``timestamp_granularities[]``), repeated or
+    comma-joined, from query params or form fields. Raises ``ValueError``
+    on entries outside ``GRANULARITIES``.
+    """
+    raw: List[str] = []
+    for key in ("timestamp_granularities", "timestamp_granularities[]"):
+        raw.extend((query or {}).get(key) or [])
+        value = fields.get(key)
+        if value:
+            raw.append(value)
+    values = {
+        v.strip().lower()
+        for item in raw
+        for v in item.split(",")
+        if v.strip()
+    }
+    bad = values - set(GRANULARITIES)
+    if bad:
+        raise ValueError(
+            "timestamp_granularities entries must be "
+            + " or ".join(f"'{g}'" for g in GRANULARITIES)
+        )
+    return values or None
+
+
 def words_from_trailing(trailing) -> List[Dict[str, Any]]:
     """``stt-word-timestamps`` trailing metadata → OpenAI-style words.
 
@@ -281,8 +323,17 @@ def words_from_trailing(trailing) -> List[Dict[str, Any]]:
 def format_response(
     results: List, fmt: str, duration_sec: float, task: str,
     words: Optional[List[Dict[str, Any]]] = None,
+    granularities: Optional[set] = None,
 ) -> Tuple[str, Any]:
-    """Final STTResults → (content_type, payload) for ``response_format``."""
+    """Final STTResults → (content_type, payload) for ``response_format``.
+
+    ``granularities`` (from ``timestamp_granularities``) shapes
+    ``verbose_json`` the OpenAI way: when set, ``segments`` appears only
+    if it names ``segment`` and ``words`` appears (possibly empty — the
+    decode profile must enable ``word_timestamps`` to populate it) only
+    if it names ``word``. When unset, segments always appear and words
+    are additive when available.
+    """
     finals = [r for r in results if r.is_final]
     text = " ".join(r.text.strip() for r in finals if r.text.strip())
     if fmt == "text":
@@ -304,7 +355,9 @@ def format_response(
             "language": language,
             "duration": round(duration_sec, 3),
             "text": text,
-            "segments": [
+        }
+        if granularities is None or "segment" in granularities:
+            payload["segments"] = [
                 {
                     "id": i,
                     "start": r.start_sec,
@@ -312,10 +365,11 @@ def format_response(
                     "text": r.text,
                 }
                 for i, r in enumerate(finals)
-            ],
-        }
-        if words:
-            payload["words"] = words
+            ]
+        if (
+            granularities is not None and "word" in granularities
+        ) or (granularities is None and words):
+            payload["words"] = words or []
         return "application/json", payload
     return "application/json", {"text": text}
 
@@ -361,6 +415,10 @@ def handle_transcription(
         return _bad_request(
             f"response_format must be one of {', '.join(RESPONSE_FORMATS)}"
         )
+    try:
+        granularities = parse_granularities(query, fields)
+    except ValueError as exc:
+        return _bad_request(str(exc))
     task_name = (fields.get("task") or "").strip().lower()
     if task_name and task_name not in _TASK_ALIASES:
         return _bad_request("task must be 'transcribe' or 'translate'")
@@ -433,6 +491,7 @@ def handle_transcription(
     content_type, payload = format_response(
         results, fmt, duration_sec, task_name,
         words=words_from_trailing(context.trailing_metadata),
+        granularities=granularities,
     )
     return 200, content_type, payload
 
@@ -443,6 +502,7 @@ __all__ = [
     "RestContext",
     "format_response",
     "handle_transcription",
+    "parse_granularities",
     "parse_multipart",
     "parse_wav_bytes",
     "words_from_trailing",

@@ -338,6 +338,68 @@ def test_verbose_json_omits_words_without_metadata(plane):
     assert status == 200 and "words" not in payload
 
 
+# -- timestamp_granularities ---------------------------------------------------
+
+
+def test_granularities_word_only_omits_segments(plane):
+    # "word" requested but the fake backend's profile emits no word
+    # timings -> OpenAI shape: empty words list, segments omitted
+    status, _, payload = post(
+        plane, wav_bytes(),
+        query={
+            "response_format": ["verbose_json"],
+            "timestamp_granularities[]": ["word"],
+        },
+    )
+    assert status == 200, payload
+    assert payload["words"] == []
+    assert "segments" not in payload
+    assert payload["text"].strip()
+
+
+def test_granularities_segment_only_omits_words(plane):
+    status, _, payload = post(
+        plane, wav_bytes(),
+        query={
+            "response_format": ["verbose_json"],
+            "timestamp_granularities": ["segment"],
+        },
+    )
+    assert status == 200 and payload["segments"]
+    assert "words" not in payload
+
+
+def test_granularities_invalid_rejected(plane):
+    status, _, payload = post(
+        plane, wav_bytes(), query={"timestamp_granularities[]": ["sentence"]}
+    )
+    assert status == 400
+    assert "timestamp_granularities" in payload["message"]
+
+
+def test_granularities_multipart_repeated_parts():
+    # OpenAI sends one `timestamp_granularities[]` part per value; the
+    # multipart parser comma-joins repeats and the parser splits them
+    body, ctype = multipart_body(
+        b"x",
+        {"response_format": "verbose_json"},
+    )
+    extra = (
+        b"--xxBOUNDARYxx\r\n"
+        b'Content-Disposition: form-data; '
+        b'name="timestamp_granularities[]"\r\n\r\nword\r\n'
+        b"--xxBOUNDARYxx\r\n"
+        b'Content-Disposition: form-data; '
+        b'name="timestamp_granularities[]"\r\n\r\nsegment\r\n'
+    )
+    body = body.replace(b"--xxBOUNDARYxx--", extra + b"--xxBOUNDARYxx--")
+    fields, _ = parse_multipart(ctype, body)
+    assert fields["timestamp_granularities[]"] == "word,segment"
+    from stt_tpu.server.transport.rest_transcribe import parse_granularities
+
+    assert parse_granularities({}, fields) == {"word", "segment"}
+
+
 # -- GET /v1/models ----------------------------------------------------------
 
 
