@@ -36,6 +36,7 @@ thread never blocks on device work except in the drain phase.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -1186,18 +1187,43 @@ class StreamOrchestrator:
                 # compact JSON (the reference proto has no field either)
                 import json as _json
 
-                trailing.append((
-                    "stt-word-timestamps",
-                    _json.dumps(
+                def _render(entries):
+                    return _json.dumps(
                         [[round(ws, 3), round(we, 3), wt]
-                         for ws, we, wt in words],
+                         for ws, we, wt in entries],
                         # gRPC non-'-bin' metadata values must be ASCII;
                         # \uXXXX escapes keep non-English words valid
                         # (grpc-python validates at RPC termination, so a
                         # bad value would drop the whole trailing block)
                         ensure_ascii=True, separators=(",", ":"),
-                    ),
-                ))
+                    )
+
+                payload = _render(words)
+                # real gRPC clients reject oversized metadata (core
+                # GRPC_ARG_MAX_METADATA_SIZE defaults to 8 KB) and the
+                # WHOLE trailing block would drop with it. In-process
+                # transports (REST/WS fake contexts) are unbounded and
+                # need full coverage for long uploads; the wire path
+                # keeps the most recent words within a byte budget and
+                # reports how many older entries were dropped.
+                if not getattr(context, "inprocess_trailing", False):
+                    try:
+                        budget = int(os.getenv(
+                            "STT_WORD_METADATA_MAX_BYTES", "7000"))
+                    except ValueError:
+                        budget = 7000
+                    dropped = 0
+                    while len(payload) > budget and dropped < len(words) - 1:
+                        # halve-and-retry beats popping one at a time for
+                        # hour-long word lists
+                        drop = max(1, (len(words) - dropped) // 2)
+                        dropped += drop
+                        payload = _render(words[dropped:])
+                    if dropped:
+                        trailing.append(
+                            ("stt-word-timestamps-dropped", str(dropped))
+                        )
+                trailing.append(("stt-word-timestamps", payload))
             try:
                 context.set_trailing_metadata(tuple(trailing))
             except (grpc.RpcError, RuntimeError, ValueError):

@@ -255,8 +255,13 @@ class DecodeStream:
         self._pending_partials = 0
         self._committed = ""
         self._last_partial = ""
-        # word-level times of the most recent decode that carried them
-        # (word_timestamps option); surfaced in trailing metadata
+        # word-level times ACCUMULATED across decodes (word_timestamps
+        # option); each decode window replaces the entries it re-covers
+        # (start >= its offset) and extends the rest, so multi-window
+        # uploads (REST > max_buffer_sec, overflow partials + final) keep
+        # word coverage aligned with the full transcript instead of the
+        # last window only (ADVICE r4 medium). Surfaced in trailing
+        # metadata at finalize.
         self.last_word_timings: List[tuple] = []
         self._timing = {
             "buffer_wait": 0.0,
@@ -505,18 +510,25 @@ class DecodeStream:
         if words:
             # the wire contract (proto STTResult) carries segment times
             # only; word-level times surface via the transcript log and
-            # the stream's trailing metadata (orchestrator finalize)
-            self.last_word_timings = [
+            # the stream's trailing metadata (orchestrator finalize).
+            # This window re-decoded audio from item.offset_sec onward:
+            # its words REPLACE accumulated entries in that span and the
+            # earlier (no-longer-covered) entries are retained.
+            shifted = [
                 (ws + item.offset_sec, we + item.offset_sec, wt)
                 for ws, we, wt in words
             ]
+            self.last_word_timings = [
+                w for w in self.last_word_timings
+                if w[0] < item.offset_sec - 1e-6
+            ] + shifted
             if self.scheduler.log_transcripts:
                 TRANSCRIPT_LOGGER.info(
                     "session_id=%s words=%s",
                     self.session_id or "unknown",
                     " ".join(
                         f"[{ws:.2f}-{we:.2f}]{wt}"
-                        for ws, we, wt in self.last_word_timings
+                        for ws, we, wt in shifted
                     ),
                 )
         for seg in result.segments:

@@ -78,6 +78,10 @@ class RestContext:
     disconnect callbacks, trailing metadata, abort.
     """
 
+    # unbounded trailing metadata: no gRPC wire limit applies, so the
+    # orchestrator emits full (uncapped) word-timestamp coverage
+    inprocess_trailing = True
+
     def __init__(
         self, peer: str, metadata: Optional[List[Tuple[str, str]]] = None
     ) -> None:
@@ -152,6 +156,13 @@ def _multipart_boundary(content_type: str) -> bytes:
     return b""
 
 
+# form fields where repeated parts are meaningful (accumulated
+# comma-joined); every other repeated field is last-wins
+_MULTI_VALUE_FIELDS = frozenset(
+    {"timestamp_granularities", "timestamp_granularities[]"}
+)
+
+
 def parse_multipart(
     content_type: str, body: bytes
 ) -> Tuple[Dict[str, str], Optional[bytes]]:
@@ -202,10 +213,13 @@ def parse_multipart(
         else:
             value = payload.decode("utf-8", "replace").strip()
             name = str(name)
-            if name in fields:
+            if name in fields and name in _MULTI_VALUE_FIELDS:
                 # repeated form fields (OpenAI sends one
                 # `timestamp_granularities[]` part per value) accumulate
-                # comma-joined; consumers split on comma
+                # comma-joined; consumers split on comma. Only the known
+                # multi-valued keys join — a client repeating e.g. `task`
+                # keeps last-wins instead of producing "translate,translate"
+                # (ADVICE r4 low)
                 fields[name] = f"{fields[name]},{value}"
             else:
                 fields[name] = value
@@ -419,6 +433,13 @@ def handle_transcription(
         granularities = parse_granularities(query, fields)
     except ValueError as exc:
         return _bad_request(str(exc))
+    if granularities is not None and fmt != "verbose_json":
+        # match the OpenAI API: granularities only shape verbose_json;
+        # accepting-and-ignoring them elsewhere hid client mistakes
+        # (ADVICE r4 low)
+        return _bad_request(
+            "timestamp_granularities requires response_format=verbose_json"
+        )
     task_name = (fields.get("task") or "").strip().lower()
     if task_name and task_name not in _TASK_ALIASES:
         return _bad_request("task must be 'transcribe' or 'translate'")

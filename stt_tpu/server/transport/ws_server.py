@@ -138,6 +138,10 @@ class WebSocketContext:
     trailing metadata, and abort (raised as :class:`WebSocketAbort`).
     """
 
+    # unbounded trailing metadata: results ride the WS JSON `done` frame,
+    # not gRPC wire metadata, so word coverage is never byte-capped
+    inprocess_trailing = True
+
     def __init__(self, metadata: List[Tuple[str, str]], peer: str) -> None:
         self._invocation_md = metadata
         self._peer_label = peer

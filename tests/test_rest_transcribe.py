@@ -400,6 +400,37 @@ def test_granularities_multipart_repeated_parts():
     assert parse_granularities({}, fields) == {"word", "segment"}
 
 
+def test_multipart_repeated_scalar_field_last_wins():
+    # only the known multi-valued keys comma-join; a client repeating a
+    # scalar field (e.g. task) keeps last-wins instead of producing
+    # "translate,translate" and a 400 (ADVICE r4 low)
+    body, ctype = multipart_body(b"x", {"response_format": "json"})
+    extra = (
+        b"--xxBOUNDARYxx\r\n"
+        b'Content-Disposition: form-data; name="task"\r\n\r\ntranscribe\r\n'
+        b"--xxBOUNDARYxx\r\n"
+        b'Content-Disposition: form-data; name="task"\r\n\r\ntranslate\r\n'
+    )
+    body = body.replace(b"--xxBOUNDARYxx--", extra + b"--xxBOUNDARYxx--")
+    fields, _ = parse_multipart(ctype, body)
+    assert fields["task"] == "translate"
+
+
+def test_granularities_require_verbose_json(plane):
+    # OpenAI rejects granularities outside verbose_json; silently
+    # ignoring them hid client mistakes (ADVICE r4 low)
+    for fmt in ("json", "text", "srt"):
+        status, _, payload = post(
+            plane, wav_bytes(),
+            query={
+                "response_format": [fmt],
+                "timestamp_granularities[]": ["word"],
+            },
+        )
+        assert status == 400, (fmt, payload)
+        assert "verbose_json" in payload["message"]
+
+
 # -- GET /v1/models ----------------------------------------------------------
 
 

@@ -223,6 +223,52 @@ def test_trailing_metadata_decode_timing():
     assert abs(total - parts) < 5e-6  # fields independently rounded to 1e-6
 
 
+def test_trailing_word_timestamps_capped_on_wire_contexts(monkeypatch):
+    """Real gRPC clients reject >8KB metadata (and drop the whole trailing
+    block); the wire path keeps the most recent words within the byte
+    budget and reports the dropped count. In-process contexts
+    (``inprocess_trailing``) get full coverage."""
+    import json
+
+    monkeypatch.setenv("STT_WORD_METADATA_MAX_BYTES", "600")
+    h = Harness(config=cfg())
+    words = [(i * 0.5, i * 0.5 + 0.4, f"word{i}") for i in range(200)]
+
+    # pre-seed every new decode stream with the accumulated word list:
+    # run() finalizes (and emits trailing metadata) only after the
+    # result generator is exhausted, so the factory is the clean seam
+    orig_new_stream = h.scheduler.new_stream
+
+    def new_stream_with_words(*a, **k):
+        ds = orig_new_stream(*a, **k)
+        ds.last_word_timings = list(words)
+        return ds
+
+    h.scheduler.new_stream = new_stream_with_words
+
+    def run_with(ctx_extra):
+        if h.registry.get_session("s1") is None:
+            h.registry.create_session("s1", make_info())  # finalize removes it
+        ctx = FakeContext(metadata=(("session-id", "s1"),))
+        for k, v in ctx_extra.items():
+            setattr(ctx, k, v)
+        list(h.orch.run(iter([chunk(), chunk(final=True)]), ctx))
+        return ctx
+
+    ctx = run_with({})
+    payload = ctx.trailing["stt-word-timestamps"]
+    assert len(payload) <= 600
+    dropped = int(ctx.trailing["stt-word-timestamps-dropped"])
+    kept = json.loads(payload)
+    assert dropped + len(kept) == len(words)
+    assert kept[-1][2] == "word199"  # most recent words win
+
+    ctx2 = run_with({"inprocess_trailing": True})
+    full = json.loads(ctx2.trailing["stt-word-timestamps"])
+    assert len(full) == len(words)
+    assert "stt-word-timestamps-dropped" not in ctx2.trailing
+
+
 def test_empty_stream_clean_finalize():
     h = Harness(config=cfg())
     results, ctx = h.run([])

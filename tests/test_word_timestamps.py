@@ -144,3 +144,59 @@ def test_scheduler_stores_offset_word_timings():
     assert stream.last_word_timings == [
         (10.1, 10.4, "hi"), (10.5, 10.9, "there")
     ]
+
+
+def _emit_window(stream, offset_sec, words, is_final):
+    """Drive one decode's words through ``_emit_result``."""
+    from stt_tpu.server.component.decode_scheduler import PendingDecode
+    from concurrent.futures import Future
+
+    from stt_tpu.engine.registry import WorkerResult
+    from stt_tpu.backends.base import Segment
+
+    fut = Future()
+    fut.set_result(WorkerResult(
+        segments=[Segment(0.0, 1.0, " ".join(w[2] for w in words))],
+        language_code="en", language_probability=1.0,
+        latency_sec=0.01, rtf=0.01, queue_wait_sec=0.0,
+        audio_duration=1.0, words=tuple(words),
+    ))
+    item = PendingDecode(
+        future=fut, is_final=is_final, offset_sec=offset_sec,
+        count_vad=False, buffer_wait_sec=0.0, holds_slot=False,
+    )
+    list(stream._emit_result(item, fut.result()))
+
+
+def test_word_timings_accumulate_across_windows():
+    """Multi-window decodes (REST uploads past max_buffer_sec: overflow
+    partials + final) accumulate words; each window replaces only the
+    span it re-covers (ADVICE r4 medium)."""
+    from stt_tpu.server.component.decode_scheduler import (
+        DecodeScheduler, DecodeSchedulerHooks,
+    )
+    from stt_tpu.config.languages import SupportedLanguages
+
+    sched = DecodeScheduler(
+        submit_fn=lambda *a, **k: None,
+        hooks=DecodeSchedulerHooks(),
+        language_lookup=SupportedLanguages(),
+    )
+    stream = sched.new_stream()
+    # window 1: [0, 10) — overflow partial
+    _emit_window(
+        stream, 0.0, [(0.5, 0.9, "alpha"), (8.0, 8.4, "beta")], False
+    )
+    # window 2: [10, 20) — second overflow partial; earlier words kept
+    _emit_window(stream, 10.0, [(0.2, 0.6, "gamma")], False)
+    assert stream.last_word_timings == [
+        (0.5, 0.9, "alpha"), (8.0, 8.4, "beta"), (10.2, 10.6, "gamma"),
+    ]
+    # final re-decodes [10, 22): replaces window 2's words, keeps window 1
+    _emit_window(
+        stream, 10.0, [(0.2, 0.6, "gamma2"), (11.0, 11.5, "delta")], True
+    )
+    assert stream.last_word_timings == [
+        (0.5, 0.9, "alpha"), (8.0, 8.4, "beta"),
+        (10.2, 10.6, "gamma2"), (21.0, 21.5, "delta"),
+    ]
