@@ -1154,6 +1154,84 @@ def test_write_exec_blob_concurrent_same_key(tmp_path):
     assert not list(path.parent.glob("*.tmp*")), "tmp litter left behind"
 
 
+def test_exec_blob_compressed_format_and_legacy_reader(tmp_path):
+    """Exec blobs are written zstd-compressed (JXZ1 magic) when the
+    zstandard module is present; the reader must accept BOTH the
+    compressed format and the legacy raw format (pre-round-5 artifact
+    sets / no-zstandard writers), and reject tampered frames."""
+    import hashlib
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from stt_tpu.engine.engine import (
+        _EXEC_BLOB_MAGIC,
+        read_exec_blob,
+        write_exec_blob,
+    )
+
+    zstd = pytest.importorskip("zstandard")
+    compiled = jax.jit(lambda x: x + 1).lower(
+        jax.ShapeDtypeStruct((4,), jnp.float32)
+    ).compile()
+
+    path = tmp_path / "fp" / "enc_c.jexec"
+    write_exec_blob(path, compiled)
+    raw = path.read_bytes()
+    assert raw[:4] == _EXEC_BLOB_MAGIC, "writer did not emit compressed format"
+    loaded = read_exec_blob(path, jax.devices()[:1])
+    assert list(np.asarray(loaded(jnp.zeros(4, jnp.float32)))) == [1.0] * 4
+
+    # legacy raw format (sha256 + pickle, no magic) must still load
+    body = zstd.ZstdDecompressor().decompress(
+        raw[36:], max_output_size=64 * len(raw) + (1 << 20)
+    )
+    legacy = tmp_path / "fp" / "enc_legacy.jexec"
+    legacy.write_bytes(hashlib.sha256(body).digest() + body)
+    loaded2 = read_exec_blob(legacy, jax.devices()[:1])
+    assert list(np.asarray(loaded2(jnp.ones(4, jnp.float32)))) == [2.0] * 4
+
+    # a flipped byte inside the compressed frame must fail integrity
+    bad = bytearray(raw)
+    bad[-1] ^= 0xFF
+    tampered = tmp_path / "fp" / "enc_bad.jexec"
+    tampered.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="integrity"):
+        read_exec_blob(tampered, jax.devices()[:1])
+
+    # a wrong-hash frame must be rejected BEFORE decompression is trusted
+    frame = zstd.ZstdCompressor(level=1).compress(pickle.dumps(("x",) * 3))
+    forged = tmp_path / "fp" / "enc_forged.jexec"
+    forged.write_bytes(_EXEC_BLOB_MAGIC + b"\x00" * 32 + frame)
+    with pytest.raises(ValueError, match="integrity"):
+        read_exec_blob(forged, jax.devices()[:1])
+
+
+def test_exec_fingerprint_moves_with_runtime_serialization_token(monkeypatch):
+    """A PJRT plugin upgrade changes the SerializedExecutable wire format
+    under an unchanged jax version (this stranded the round-4 committed
+    artifact set: 'cached executable is axon format vX, this build is
+    v9'). The fingerprint must include the runtime serialization token so
+    a runtime bump lands in a NEW fingerprint dir instead of unlinking
+    committed blobs one failed load at a time."""
+    import jax
+    import jax.numpy as jnp
+
+    from stt_tpu.engine import engine as E
+    from stt_tpu.models import whisper as W
+
+    dev = jax.devices()[0]
+    config = W.get_config("test")
+    fp1 = E.exec_fingerprint(dev, config, jnp.float32, False)
+    # the token is consulted on every fingerprint computation (cached)
+    monkeypatch.setattr(E, "_runtime_token_cache", "libtpu=9.9.9;fake=abcd")
+    fp2 = E.exec_fingerprint(dev, config, jnp.float32, False)
+    assert fp1 != fp2, "runtime token did not move the fingerprint"
+    monkeypatch.setattr(E, "_runtime_token_cache", None)
+    assert E.exec_fingerprint(dev, config, jnp.float32, False) == fp1
+
+
 def test_exec_fingerprint_ignores_preset_additions_not_semantics(monkeypatch):
     """models/presets.py is pure data excluded from the traced-source
     hash: ADDING a preset must keep every existing fingerprint stable
