@@ -27,7 +27,16 @@ DEFAULT_SAMPLE_RATE = 16000
 DEFAULT_MAX_BUFFER_SEC = 20.0
 DEFAULT_MAX_CHUNK_MS = 2000
 DEFAULT_PARTIAL_DECODE_INTERVAL_SEC = 1.5
-DEFAULT_PARTIAL_DECODE_WINDOW_SEC = 10.0
+# Trailing window a PARTIAL decode covers (finals decode the full buffer).
+# The reference ships 10.0 (stream_orchestrator/types.py:117); here the
+# default is the 5 s audio bucket: the unrolled decode loop is ~40 steps
+# instead of ~80, which is what meets the north-star p95 partial latency
+# < 300 ms at 64 concurrent streams on one v5e chip. Continuity across
+# the shorter window rides the committed-transcript conditioning
+# (decode_scheduler passes committed[-400:] as initial_prompt) and the
+# LCP commit machinery; audio older than the window stays in the buffer
+# for the final decode. Set 10.0 to restore reference behavior.
+DEFAULT_PARTIAL_DECODE_WINDOW_SEC = 5.0
 DEFAULT_EMIT_FINAL_ON_VAD = False
 DEFAULT_MAX_PENDING_DECODES_PER_STREAM = 8
 DEFAULT_MAX_PENDING_DECODES_GLOBAL = 64
@@ -132,6 +141,13 @@ DEFAULT_DECODE_PROFILE: Dict[str, Any] = {
     "compression_ratio_threshold": 2.4,
     "no_speech_threshold": 0.6,
     "log_prob_threshold": -1.0,
+    # Explicit here (the reference inherits the same default from
+    # faster-whisper's transcribe(); engine.py defaults it on within a
+    # request too) because the decode scheduler ALSO keys cross-window
+    # conditioning off it: with the trailing 5 s partial window the
+    # committed transcript is passed as initial_prompt so each window
+    # decodes in context (decode_scheduler.schedule_decode).
+    "condition_on_previous_text": True,
 }
 
 
@@ -177,13 +193,18 @@ ALLOWED_DECODE_OPTION_KEYS = {
 
 # --- TPU execution ----------------------------------------------------------
 DEFAULT_DECODE_BATCH_WINDOW_MS = 5.0   # micro-batching window for the engine
-DEFAULT_MAX_DECODE_BATCH_SIZE = 16     # engine batch-row cap per step
+# Engine batch-row cap per step. 64 so a 64-stream partial burst decodes
+# as ONE MXU-efficient group: at the old cap of 16 the same burst ran as
+# 4 sequential 16-row groups and the group-queue wait alone pushed loaded
+# partial p95 past the 300 ms north star. The wider shapes' boot compiles
+# ride the committed .exec_cache artifacts + persistent XLA cache.
+DEFAULT_MAX_DECODE_BATCH_SIZE = 64
 DEFAULT_TPU_MESH_SHAPE = "1x1"         # "<data>x<model>" device mesh layout
 DEFAULT_TPU_AUDIO_BUCKETS_SEC = [1.0, 2.0, 5.0, 10.0, 30.0]
 # sparse on purpose: batch rows pad to the next bucket, and small-batch
 # dispatches are latency-bound on TPU, so intermediate rungs buy little
 # serving latency while multiplying the boot compile matrix
-DEFAULT_TPU_BATCH_BUCKETS = [1, 4, 16]
+DEFAULT_TPU_BATCH_BUCKETS = [1, 4, 16, 64]
 DEFAULT_TPU_MAX_DECODE_TOKENS = 224
 DEFAULT_TPU_DECODE_TOKEN_CHUNK = 8     # tokens per engine step (preemption grain)
 # Pallas fused log-mel: 3.2x faster than the XLA mel standalone on a v5e

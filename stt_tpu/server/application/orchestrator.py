@@ -117,7 +117,9 @@ class BufferLimits:
 @dataclass(frozen=True)
 class PartialDecodeSettings:
     interval_sec: Optional[float] = 1.5
-    window_sec: Optional[float] = 10.0
+    # trailing 5 s bucket (reference ships 10.0) — the decode-loop halving
+    # that meets p95 partial < 300 ms at 64 streams; see config/defaults.py
+    window_sec: Optional[float] = 5.0
 
 
 @dataclass(frozen=True)

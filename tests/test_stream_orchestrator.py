@@ -540,6 +540,44 @@ def test_periodic_partial_when_enabled():
     assert partials
 
 
+def test_partial_window_trailing_slice_and_cross_window_conditioning():
+    """The shipped partial policy: periodic partials decode at most the
+    trailing ``window_sec`` of the buffer (default 5 s — the decode-loop
+    halving that meets p95 < 300 ms at 64 streams), and once text has
+    committed, later windows are conditioned on it via initial_prompt
+    (``condition_on_previous_text`` is in the shipped profile) so the
+    shorter window keeps transcript continuity."""
+    info = make_info(
+        attributes={"partial": "true"},
+        decode_options={"condition_on_previous_text": True},
+    )
+    h = Harness(
+        config=cfg(
+            partial_decode=PartialDecodeSettings(
+                interval_sec=0.05, window_sec=0.3,
+            ),
+            buffer_limits=BufferLimits(max_buffer_sec=10.0),
+        ),
+        session=info,
+    )
+    h.run([chunk() for _ in range(8)])  # 0.8s buffered > 0.3s window
+    partials = [s for s in h.submitted if not s["is_final"]]
+    assert len(partials) >= 3
+    window_bytes = int(0.3 * SR * 2)
+    # every partial decodes at most the trailing window
+    assert all(len(p["pcm"]) <= window_bytes for p in partials)
+    # the buffer outgrew the window, so the LAST partial is exactly capped
+    assert len(partials[-1]["pcm"]) == window_bytes
+    # after two agreeing partials ("hello world" both times) text commits;
+    # later windows must carry it as decode context
+    conditioned = [
+        p for p in partials
+        if (p["options"] or {}).get("initial_prompt")
+    ]
+    assert conditioned, "no window was conditioned on committed text"
+    assert conditioned[-1]["options"]["initial_prompt"].endswith("hello world")
+
+
 def test_no_periodic_partial_without_attribute():
     h = Harness(
         config=cfg(partial_decode=PartialDecodeSettings(interval_sec=0.1)),
