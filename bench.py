@@ -84,6 +84,145 @@ def whisper_request_flops(config, bucket_sec: float, p_len: int,
     return float(flops)
 
 
+def run_e2e_phase(args, device: str) -> dict:
+    """Full-stack serving SLOs: spawn the real server (subprocess, same
+    device), drive paced gRPC streams with the first-party load tool, and
+    report session-level percentiles — the reference's own bar
+    (``/root/reference/docs/slo.md``: create < 200 ms, final p95 < 1.5 s).
+
+    The server boots a NARROW shape matrix (5/10 s x 1/16 rows, the shapes
+    this phase actually hits) so a cold boot stays bounded; the committed
+    ``.exec_cache`` artifacts cover these shapes, so a driver pod
+    deserializes in seconds. Inherits STT_EXEC_CACHE_DIR staged by main().
+    """
+    import signal
+    import socket
+    import subprocess
+    import tempfile
+    import urllib.request
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def free_port() -> int:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    grpc_port, http_port = free_port(), free_port()
+    boot_wait = float(os.getenv("STT_BENCH_E2E_BOOT_WAIT", "600") or 600)
+    # fake backend = hermetic smoke of the subprocess plumbing (CI/dev);
+    # the driver record always uses the real jax_whisper backend
+    backend = os.getenv("STT_BENCH_E2E_BACKEND", "jax_whisper")
+    tmp = tempfile.mkdtemp(prefix="stt_bench_e2e_")
+    cfg_path = os.path.join(tmp, "server.yaml")
+    # the SHIPPED config (rate limits, session caps, partial policy, …)
+    # with only the TPU shape matrix narrowed to what this phase hits, so
+    # a cold boot compiles/loads 8 programs instead of the full matrix
+    import yaml
+    with open(os.path.join(repo, "config", "server.yaml")) as f:
+        server_cfg = yaml.safe_load(f)
+    server_cfg.setdefault("server", {})["max_decode_batch_size"] = 16
+    server_cfg.setdefault("tpu", {})["audio_buckets_sec"] = [5.0, 10.0]
+    server_cfg["tpu"]["batch_buckets"] = [1, 16]
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(server_cfg, f)
+    log_path = os.path.join(tmp, "server.log")
+    server_cmd = [
+        sys.executable, "-m", "stt_tpu.server.main",
+        "--config", cfg_path,
+        "--model", args.model, "--model-backend", backend,
+        "--device", device, "--compute-type", args.compute_type,
+        "--port", str(grpc_port), "--metrics-port", str(http_port),
+        "--ws-port", "0",
+    ]
+    log(f"e2e: starting server (grpc={grpc_port} http={http_port}); "
+        f"log: {log_path}")
+    with open(log_path, "w") as lf:
+        proc = subprocess.Popen(
+            server_cmd, cwd=repo, stdout=lf, stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+    try:
+        t0 = time.monotonic()
+        while True:
+            if proc.poll() is not None:
+                tail = open(log_path).read()[-1500:]
+                raise RuntimeError(
+                    f"server exited rc={proc.returncode} during boot: {tail}"
+                )
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{http_port}/health", timeout=5
+                ) as resp:
+                    if resp.status == 200:
+                        break
+            except Exception:
+                pass
+            if time.monotonic() - t0 > boot_wait:
+                raise RuntimeError(f"server not healthy after {boot_wait}s")
+            time.sleep(2.0)
+        boot_sec = time.monotonic() - t0
+        log(f"e2e: server healthy in {boot_sec:.1f}s; driving load")
+
+        out_dir = os.path.join(tmp, "load")
+        load_cmd = [
+            sys.executable,
+            os.path.join(repo, "tools", "bench", "grpc_load_test.py"),
+            "--target", f"127.0.0.1:{grpc_port}",
+            "--sessions", "16", "--iterations", "2", "--warmup", "2",
+            "--synthetic-sec", "5", "--speed", "2.0", "--language", "en",
+            "--chunk-ms", "100", "--out-dir", out_dir,
+        ]
+        load = subprocess.run(
+            load_cmd, cwd=repo, capture_output=True, text=True, timeout=420,
+        )
+        if load.returncode != 0:
+            raise RuntimeError(
+                f"load tool rc={load.returncode}: {load.stderr[-800:]}"
+            )
+        with open(os.path.join(out_dir, "summary.json")) as f:
+            summary = json.load(f)
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGTERM)
+        except OSError:
+            proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                proc.kill()
+            proc.wait(timeout=10)
+
+    def p95(section):
+        val = (summary.get(section) or {}).get("p95")
+        return None if val is None else float(val)
+
+    out = {
+        "e2e_boot_s": round(boot_sec, 1),
+        "e2e_sessions": summary.get("sessions"),
+        "e2e_error_rate": summary.get("error_rate"),
+        "e2e_create_p95_ms": (
+            round(p95("create_latency_sec") * 1000, 1)
+            if p95("create_latency_sec") is not None else None
+        ),
+        "e2e_first_partial_p95_s": (
+            round(p95("first_partial_sec"), 3)
+            if p95("first_partial_sec") is not None else None
+        ),
+        "e2e_final_p95_s": (
+            round(p95("final_latency_sec"), 3)
+            if p95("final_latency_sec") is not None else None
+        ),
+    }
+    log(f"e2e: {out}")
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--streams", type=int, default=64)
@@ -101,8 +240,13 @@ def main() -> None:
                         action="store_false", default=True,
                         help="disable the Pallas mel kernel inside the "
                              "fused serve program (A/B against XLA mel)")
-    parser.add_argument("--batch-buckets", default="1,2,4,8,16,32,64",
+    parser.add_argument("--batch-buckets", default="1,2,4,8,16,32,64,128",
                         help="comma-separated compiled batch shapes")
+    parser.add_argument("--no-e2e", dest="e2e", action="store_false",
+                        default=os.getenv("STT_BENCH_E2E", "1") != "0",
+                        help="skip the end-to-end serving-stack phase "
+                             "(real server subprocess + paced gRPC "
+                             "streams)")
     args = parser.parse_args()
 
     import jax
@@ -147,12 +291,23 @@ def main() -> None:
         scratch = os.path.join(
             os.path.expanduser("~"), ".cache", "stt_tpu_exec_bench"
         )
-        if os.path.isdir(repo_exec):
-            for fp in os.listdir(repo_exec):
-                src = os.path.join(repo_exec, fp)
-                dst = os.path.join(scratch, fp)
-                if os.path.isdir(src) and not os.path.isdir(dst):
-                    shutil.copytree(src, dst)
+        repo_fps = (
+            {fp for fp in os.listdir(repo_exec)
+             if os.path.isdir(os.path.join(repo_exec, fp))}
+            if os.path.isdir(repo_exec) else set()
+        )
+        # stale scratch dirs from earlier source/runtime states can never
+        # load (their fingerprint matches no current tree) — prune so the
+        # HIT/MISS diagnostic below reflects the repo-committed set
+        if os.path.isdir(scratch):
+            for fp in os.listdir(scratch):
+                path = os.path.join(scratch, fp)
+                if os.path.isdir(path) and fp not in repo_fps:
+                    shutil.rmtree(path, ignore_errors=True)
+        for fp in repo_fps:
+            dst = os.path.join(scratch, fp)
+            if not os.path.isdir(dst):
+                shutil.copytree(os.path.join(repo_exec, fp), dst)
         os.makedirs(scratch, exist_ok=True)
         os.environ["STT_EXEC_CACHE_DIR"] = scratch
 
@@ -287,8 +442,20 @@ def main() -> None:
         # only the shapes this run will hit: the full batch + the tail shape
         warm_sizes = sorted({warm_sizes[-1], engine._batch_bucket(args.streams)})
         partial_bucket = engine._bucket_for(16000)
+        # the SHIPPED partial policy: periodic partials decode the trailing
+        # window (config/defaults.py DEFAULT_PARTIAL_DECODE_WINDOW_SEC) —
+        # the loaded-partial phase below measures exactly that shape
+        from stt_tpu.config import defaults as _cfg_defaults
+        window_sec = float(
+            _cfg_defaults.DEFAULT_PARTIAL_DECODE_WINDOW_SEC or args.secs
+        )
+        window_bucket = engine._bucket_for(int(window_sec * 16000))
+        streams2 = args.streams * 2
+        batch2 = engine._batch_bucket(streams2)
         log(f"prewarming bucket={bucket}s batch sizes={warm_sizes} "
-            f"+ partial bucket={partial_bucket}s")
+            f"+ partial window bucket={window_bucket}s x{args.streams} "
+            f"+ capacity shape {bucket}s x{batch2} "
+            f"+ idle-probe bucket={partial_bucket}s")
         # diagnostic: does the repo-committed artifact dir match this
         # host's fingerprint? (tools/aot_build_exec_cache.py builds it)
         fp = engine._exec_fingerprint()
@@ -308,8 +475,19 @@ def main() -> None:
             bucket_secs=[bucket], batch_sizes=warm_sizes,
             mode="aot", parallelism=4, include_drafted=True,
         )
+        if window_bucket != bucket:
+            compile_sec += engine.prewarm(
+                bucket_secs=[window_bucket], batch_sizes=warm_sizes,
+                mode="aot", parallelism=2, include_drafted=True,
+            )
         compile_sec += engine.prewarm(
             bucket_secs=[partial_bucket], batch_sizes=[1],
+            mode="aot", parallelism=2,
+        )
+        # the capacity sweet spot: ONE true 2x-row batch (VERDICT r4 #4 —
+        # the measured-best operating point must exist in the driver record)
+        compile_sec += engine.prewarm(
+            bucket_secs=[bucket], batch_sizes=[batch2],
             mode="aot", parallelism=2,
         )
         log(f"compile: {compile_sec:.1f}s")
@@ -387,11 +565,11 @@ def main() -> None:
             f"{eff_tflops:.2f} TFLOPS effective vs {peak:.0f} peak "
             f"-> {mfu:.2f}%")
 
-        # secondary: RTFx at 2x streams (the measured capacity sweet spot —
-        # a 128-request wave runs as two pipelined full sub-batches, so no
-        # new shapes compile; VERDICT r3 weak #7 asked for this in the
-        # driver record)
-        streams2 = args.streams * 2
+        # secondary: RTFx at 2x streams through ONE true 2x-row batch (the
+        # measured capacity sweet spot, prewarmed above — r4 ran this as
+        # two pipelined 64-row sub-batches because max_batch stayed at 64;
+        # max_batch is read per dispatch so raising it here is safe)
+        engine.max_batch = max(engine.max_batch, batch2)
         done_at2 = []
         t0 = time.perf_counter()
         prev = [engine.submit(DecodeRequest(audio=audio, language="en"))
@@ -415,36 +593,60 @@ def main() -> None:
         log(f"RTFx at {streams2} streams: {rtfx2:.1f}x "
             f"(median of {len(walls2)} steady rounds)")
 
-        # secondary: streaming-partial acceptance profile (per-session
-        # growing buffer within the same bucket — VERDICT r3 weak #4).
-        # Under the adaptive default the ticks route plain and the
-        # engine measures the HYPOTHETICAL acceptance for free (LCP of
-        # consecutive token streams); if the EMA engages mid-run the
-        # later ticks ride the drafted program and the live counters
-        # take over — either way the combined rate is the number that
-        # decides engagement in production.
+        # THE NORTH-STAR PARTIAL CONDITION (VERDICT r4 #1): per-request
+        # partial completion latency UNDER 64-stream load, at the shipped
+        # policy — every session's periodic partial decodes the trailing
+        # ``partial_decode_window_sec`` of its growing buffer
+        # (orchestrator.py _maybe_schedule_periodic_partial) and a
+        # 64-session tick decodes as ONE group (max_decode_batch_size 64).
+        # This replaces r4's ``partial_p95_ms``-only record, which was an
+        # idle 1 s-bucket probe next to a target defined at load.
         draft_rate = None
         draft_tick_ms = None
         draft_engaged = None
+        n_ticks = 6
+        grow0 = int(0.85 * len(audio))
+        step = (len(audio) - grow0) // (n_ticks - 1)
+        window_n = int(window_sec * 16000)
+        stats0 = dict(engine.draft_stats)
+        tick_walls = []
+        loaded_lats: list = []
+
+        def _timed_submit(req, sink):
+            t_sub = time.perf_counter()
+            fut = engine.submit(req)
+            fut.add_done_callback(
+                lambda f: sink.append(time.perf_counter() - t_sub)
+            )
+            return fut
+
+        for w in range(n_ticks):
+            ln = min(len(audio), grow0 + step * w)
+            win = audio[max(0, ln - window_n):ln]
+            sink: list = [] if w == 0 else loaded_lats  # tick 0 warms
+            tw = time.perf_counter()
+            futs = [
+                _timed_submit(DecodeRequest(
+                    audio=win, language="en", is_final=False,
+                    session_id=f"bench_{i}"), sink)
+                for i in range(args.streams)
+            ]
+            futures.wait(futs)
+            for f in futs:
+                f.result()
+            tick_walls.append(time.perf_counter() - tw)
+        loaded_lats.sort()
+        partial_p95_loaded = loaded_lats[int(len(loaded_lats) * 0.95) - 1]
+        log(f"LOADED partials ({args.streams} sessions/tick, trailing "
+            f"{window_sec:.0f}s window): p50="
+            f"{loaded_lats[len(loaded_lats)//2]*1000:.0f}ms "
+            f"p95={partial_p95_loaded*1000:.0f}ms over "
+            f"{len(loaded_lats)} requests / {n_ticks - 1} ticks")
         if engine._draft_mode != "off":
-            n_ticks = 5
-            grow0 = int(0.85 * len(audio))
-            step = (len(audio) - grow0) // (n_ticks - 1)
-            stats0 = dict(engine.draft_stats)
-            tick_walls = []
-            for w in range(n_ticks):
-                ln = min(len(audio), grow0 + step * w)
-                tw = time.perf_counter()
-                futs = [
-                    engine.submit(DecodeRequest(
-                        audio=audio[:ln], language="en", is_final=False,
-                        session_id=f"bench_{i}"))
-                    for i in range(args.streams)
-                ]
-                futures.wait(futs)
-                for f in futs:
-                    f.result()
-                tick_walls.append(time.perf_counter() - tw)
+            # drafted-partial acceptance profile rides the same ticks:
+            # adaptive mode measures HYPOTHETICAL acceptance for free on
+            # plain ticks (LCP of consecutive token streams) and the live
+            # counters take over if the EMA engages mid-run.
             stats1 = dict(engine.draft_stats)
             offered = (stats1["offered"] - stats0["offered"]
                        + stats1["hyp_offered"] - stats0["hyp_offered"])
@@ -453,8 +655,8 @@ def main() -> None:
             if offered:
                 draft_rate = accepted / offered
             draft_engaged = bool(stats1.get("engaged"))
-            tick_walls = sorted(tick_walls[1:])  # first tick has no draft
-            draft_tick_ms = tick_walls[len(tick_walls) // 2] * 1000
+            sorted_walls = sorted(tick_walls[1:])
+            draft_tick_ms = sorted_walls[len(sorted_walls) // 2] * 1000
             log(f"streaming partial ticks: accept_rate="
                 f"{draft_rate if draft_rate is None else round(draft_rate, 3)} "
                 f"engaged={draft_engaged} median tick {draft_tick_ms:.0f}ms "
@@ -473,9 +675,9 @@ def main() -> None:
             lats.append(time.perf_counter() - t0)
         lats.sort()
         p95 = lats[int(len(lats) * 0.95) - 1]
-        log(f"partial (1s bucket) p50={lats[len(lats)//2]*1000:.0f}ms "
-            f"p95={p95*1000:.0f}ms")
-        print(json.dumps({
+        log(f"partial (1s bucket, idle probe) p50="
+            f"{lats[len(lats)//2]*1000:.0f}ms p95={p95*1000:.0f}ms")
+        results = {
             "metric": f"rtfx_whisper_{args.model}_{args.streams}streams",
             "value": round(rtfx, 2),
             "unit": "x_realtime_per_chip",
@@ -488,6 +690,10 @@ def main() -> None:
             "exec_cache": "HIT" if exec_cache_hit else "MISS",
             "mfu_pct": round(mfu, 2),
             "effective_tflops": round(eff_tflops, 2),
+            # north star: per-request partial p95 UNDER 64-stream load at
+            # the shipped trailing-window policy (target < 300 ms)
+            "partial_p95_loaded_ms": round(partial_p95_loaded * 1000, 1),
+            "partial_window_sec": window_sec,
             "partial_p95_ms": round(p95 * 1000, 1),
             f"rtfx_{streams2}streams": round(rtfx2, 2),
             "draft_accept_rate": (
@@ -498,9 +704,23 @@ def main() -> None:
                 round(draft_tick_ms, 1) if draft_tick_ms is not None
                 else None
             ),
-        }), flush=True)
+        }
     finally:
         engine.close()
+
+    # END-TO-END serving stack (VERDICT r4 #2): the reference's bar is
+    # session-level SLOs (docs/slo.md) — spawn the REAL server on this
+    # device, drive paced gRPC streams through the full CreateSession ->
+    # orchestrator -> scheduler -> registry -> engine path, and put the
+    # full-stack percentiles in the driver record. Failures degrade to
+    # an "e2e_error" field; the engine-phase headline above still lands.
+    if args.e2e:
+        try:
+            results.update(run_e2e_phase(args, devices[0].platform))
+        except Exception as exc:  # noqa: BLE001 - record, don't lose the run
+            log(f"e2e phase failed: {exc}")
+            results["e2e_error"] = str(exc)[:300]
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":
