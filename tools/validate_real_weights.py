@@ -85,6 +85,30 @@ MATRIX = [
         "the first-party ONNX executor runs the genuine silero_vad.onnx "
         "and a VADGate endpoints on it",
     ),
+    (
+        "adaptive_draft_engagement",
+        "tests/test_integration_backends.py::"
+        "test_real_weights_adaptive_draft_engagement",
+        ["STT_WEIGHTS_DIR"],
+        "the adaptive drafted-partials EMA clears the 0.8 engagement bar "
+        "on real margins, so the shipped default actually serves drafts",
+    ),
+    (
+        "partial_window_policy",
+        "tests/test_integration_backends.py::"
+        "test_real_weights_partial_window_policy_parity",
+        ["STT_WEIGHTS_DIR"],
+        "the trailing-5s partial window + cross-window conditioning never "
+        "retracts commits and the final transcript keeps the fixture words",
+    ),
+    (
+        "loaded_partial_p95",
+        "tests/test_integration_backends.py::"
+        "test_loaded_partial_p95_on_device",
+        ["STT_RUN_DEVICE_GATES"],
+        "p95 partial completion latency under 64-concurrent-stream waves "
+        "meets the 300 ms north-star budget on the deployment TPU",
+    ),
 ]
 
 
