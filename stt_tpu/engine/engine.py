@@ -722,6 +722,7 @@ def exec_fingerprint(
     h.update(W.DECODER_WEIGHTS_DTYPE.encode())
     h.update(W.FLASH_ATTENTION.encode())
     h.update(W.PREFILL.encode())
+    h.update(W.FUSED_QKV.encode())
     root = Path(__file__).resolve().parents[1]
     for rel in _EXEC_SRC_FILES:
         try:
@@ -1002,6 +1003,9 @@ class WhisperEngine:
                 )
             self.params = shard_params(params, self._mesh)
         else:
+            # fuse BEFORE quantize: per-out-channel scales are computed
+            # per output column either way, so the composition is exact
+            params["decoder"] = W.fuse_decoder_qkv(params["decoder"])
             if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
                 if self._dtype != jnp.bfloat16:
                     # quantize_decoder_weights no-ops for non-bf16 compute;

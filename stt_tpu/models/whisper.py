@@ -250,14 +250,42 @@ def _layer_norm(x, p):
     return (normed * p["g"] + p["b"]).astype(x.dtype)
 
 
+def _quant_activation_rows(x):
+    """Dynamic symmetric per-row int8 activation quantization for the
+    native int8 MXU path: returns (xq int8, sx f32 row scales with a
+    trailing keepdim). Exactness is NOT claimed — int8_native is a
+    throughput experiment whose accuracy bar is the real-weights parity
+    gate, like every other storage policy here."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    return xq, sx
+
+
 def _linear(x, p):
     if "wq" in p:
-        # quantized storage (see quantize_decoder_weights): the narrow
-        # weight converts in the operand read; int8's per-out-channel
-        # scale applies to the f32 accumulator (same matmul semantics)
-        y = jnp.dot(x, p["wq"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = y * p["ws"].astype(jnp.float32)
+        if _W8_NATIVE:
+            # native int8 MXU matmul (VERDICT r4 #3a): both operands
+            # int8, int32 accumulate, per-row activation scale x
+            # per-out-channel weight scale on the accumulator — the
+            # weight streams from HBM at 1 byte/elem AND the MXU runs
+            # at its int8 rate, vs the dequant-to-bf16 operand read
+            # measured at 0.91x in the r4 A/B (tools/ab_weights_dtype.py)
+            xq, sx = _quant_activation_rows(x)
+            y = jax.lax.dot_general(
+                xq, p["wq"],
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            y = y * sx * p["ws"].astype(jnp.float32)
+        else:
+            # quantized storage (see quantize_decoder_weights): the narrow
+            # weight converts in the operand read; int8's per-out-channel
+            # scale applies to the f32 accumulator (same matmul semantics)
+            y = jnp.dot(x, p["wq"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+            y = y * p["ws"].astype(jnp.float32)
     else:
         y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
@@ -323,6 +351,19 @@ XATTN_KERNEL = os.getenv("STT_XATTN_KERNEL", "off").strip().lower()
 # whole generation loop. Kept as an A/B/fallback knob; part of the exec
 # fingerprint (engine.exec_fingerprint).
 PREFILL = os.getenv("STT_PREFILL", "parallel").strip().lower()
+
+# Fused decoder self-attention q/k/v projection (VERDICT r4 #3b, op-count
+# reduction in the unrolled decode step): the three projections share the
+# same layer-normed input, so one (d, 3d) matmul replaces three (d, d)
+# matmuls — 24 fewer dispatches per 12-layer step. Exact by construction
+# (identical products; k's absent bias becomes a zero block). Load-time
+# params transform (fuse_decoder_qkv) + a structure branch in the step;
+# A/B: tools/ab_weights_dtype.py --modes bf16,fused.
+FUSED_QKV = os.getenv("STT_FUSED_QKV", "off").strip().lower()
+
+
+def _fused_qkv_on() -> bool:
+    return FUSED_QKV in ("1", "on", "true", "yes")
 
 
 def _xattn_kernel_applicable() -> bool:
@@ -530,6 +571,13 @@ def _cross_store_dtype(compute_dtype):
 DECODER_WEIGHTS_DTYPE = os.getenv(
     "STT_DECODER_WEIGHTS_DTYPE", "bf16"
 ).strip().lower()
+# int8 storage variants: "int8" dequantizes in the operand read and
+# matmuls in bf16; "int8_native" keeps both operands int8 and runs the
+# MXU's int8 path (dynamic per-row activation quantization — see
+# _quant_activation_rows; throughput A/B: tools/ab_weights_dtype.py
+# --modes bf16,int8,int8_native).
+_W8_MODES = ("int8", "i8", "int8_native", "i8n")
+_W8_NATIVE = DECODER_WEIGHTS_DTYPE in ("int8_native", "i8n")
 
 
 def _quant_linear_leaf(w, reduce_axes):
@@ -549,7 +597,7 @@ def quantize_decoder_weights(dec, compute_dtype):
     bf16. Stacked block weights (L, d_in, d_out) quantize per (layer,
     out-channel); the token table (V, d) per d-column so one scale
     vector serves both the embedding gather and the logits matmul."""
-    if DECODER_WEIGHTS_DTYPE not in ("int8", "i8"):
+    if DECODER_WEIGHTS_DTYPE not in _W8_MODES:
         return dec
     if compute_dtype != jnp.bfloat16:
         return dec
@@ -578,6 +626,44 @@ def quantize_decoder_weights(dec, compute_dtype):
     return new
 
 
+def fuse_decoder_qkv(dec):
+    """Return a decoder-params copy whose self-attn q/k/v projections are
+    concatenated into one ``qkv`` linear of shape (L, d, 3d) (+ bias
+    (L, 3d) with a zero block where k had no bias). No-op unless
+    STT_FUSED_QKV enables the policy. Applied by the engine at load time
+    BEFORE quantize_decoder_weights: per-out-channel int8 scales are
+    computed per output column either way, so fusion composes exactly
+    with int8 storage."""
+    if not _fused_qkv_on():
+        return dec
+    blocks = dict(dec["blocks"])
+    attn = dict(blocks["attn"])
+    if "qkv" in attn:
+        return dec
+    q, k, v = attn["q"], attn["k"], attn["v"]
+    w = jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)
+    kb = jnp.zeros(k["w"].shape[:-2] + (k["w"].shape[-1],), q["b"].dtype)
+    b = jnp.concatenate([q["b"], kb, v["b"]], axis=-1)
+    blocks["attn"] = {"qkv": {"w": w, "b": b}, "o": attn["o"]}
+    new = dict(dec)
+    new["blocks"] = blocks
+    return new
+
+
+def _attn_qkv_lin(hn, attn_p):
+    """The step's self-attn input projections, fused or separate
+    depending on the params structure (see fuse_decoder_qkv). Returns
+    (q_lin, k_lin, v_lin), head-merge layout, unscaled."""
+    if "qkv" in attn_p:
+        qkv = _linear(hn, attn_p["qkv"])
+        return tuple(jnp.split(qkv, 3, axis=-1))
+    return (
+        _linear(hn, attn_p["q"]),
+        _linear(hn, attn_p["k"]),
+        _linear(hn, attn_p["v"]),
+    )
+
+
 def _tok_embed(dec, tokens):
     """Token-embedding gather, dequantizing when the table is stored
     8-bit (per-column scale)."""
@@ -595,6 +681,17 @@ def _tok_logits(dec, x):
     tok = dec["tok"]
     if isinstance(tok, dict):
         x = x * tok["ws"].astype(x.dtype)
+        if _W8_NATIVE:
+            # the (V, d) table is the single largest weight read of the
+            # step; stream it int8 and use the MXU int8 path (the
+            # per-column scale is already folded into x above)
+            xq, sx = _quant_activation_rows(x)
+            y = jax.lax.dot_general(
+                xq, tok["wq"],
+                (((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            return y * sx
         return jnp.dot(x, tok["wq"].T.astype(x.dtype),
                        preferred_element_type=jnp.float32)
     return jnp.dot(x, tok.T, preferred_element_type=jnp.float32)
@@ -767,11 +864,10 @@ def _decoder_step(
         block = jax.tree_util.tree_map(lambda a: a[li], dec["blocks"])
         # self-attention against the head-split cache (k stored pre-scaled)
         hn = _layer_norm(h, block["ln1"])
-        qh = _split_heads(_linear(hn, block["attn"]["q"]), n_head) * scale
-        k_new = _split_heads(
-            _linear(hn, block["attn"]["k"]), n_head
-        ) * scale
-        v_new = _split_heads(_linear(hn, block["attn"]["v"]), n_head)
+        q_lin, k_lin, v_lin = _attn_qkv_lin(hn, block["attn"])
+        qh = _split_heads(q_lin, n_head) * scale
+        k_new = _split_heads(k_lin, n_head) * scale
+        v_new = _split_heads(v_lin, n_head)
         if vec_pos:
             sel = write_row[:, None, :, None]  # (B, 1, T, 1)
             kl = jnp.where(sel, k_new.astype(k_cache.dtype), k_cache[li])
@@ -831,13 +927,12 @@ def _prefill_parallel(params, tokens, width, cache: KVCache, cross_kv, n_head):
     for li in range(n_layers):
         block = jax.tree_util.tree_map(lambda a: a[li], dec["blocks"])
         hn = _layer_norm(h, block["ln1"])
-        qh = _split_heads(_linear(hn, block["attn"]["q"]), n_head) * scale
+        q_lin, k_lin, v_lin = _attn_qkv_lin(hn, block["attn"])
+        qh = _split_heads(q_lin, n_head) * scale
         k_new = (
-            _split_heads(_linear(hn, block["attn"]["k"]), n_head) * scale
+            _split_heads(k_lin, n_head) * scale
         ).astype(k_cache.dtype)
-        v_new = _split_heads(
-            _linear(hn, block["attn"]["v"]), n_head
-        ).astype(v_cache.dtype)
+        v_new = _split_heads(v_lin, n_head).astype(v_cache.dtype)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k_new[None], (li, 0, 0, 0, 0)
         )

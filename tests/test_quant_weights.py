@@ -170,3 +170,159 @@ def test_engine_serves_with_int8_weights(monkeypatch):
         assert out.segments is not None and out.info is not None
     finally:
         engine.close()
+
+
+# -- fused q/k/v projection (STT_FUSED_QKV) -----------------------------------
+
+
+def _fuse(dec, monkeypatch):
+    monkeypatch.setattr(W, "FUSED_QKV", "on")
+    return W.fuse_decoder_qkv(dec)
+
+
+def test_fused_qkv_structure(monkeypatch):
+    params, _ = _tiny_params()
+    dec = params["decoder"]
+    fused = _fuse(dec, monkeypatch)
+    qkv = fused["blocks"]["attn"]["qkv"]
+    L, d_in, d_out = dec["blocks"]["attn"]["q"]["w"].shape
+    assert qkv["w"].shape == (L, d_in, 3 * d_out)
+    assert qkv["b"].shape == (L, 3 * d_out)
+    # k had no bias: its block is exactly zero
+    kb = np.asarray(qkv["b"][:, d_out:2 * d_out], np.float32)
+    assert (kb == 0).all()
+    assert "q" not in fused["blocks"]["attn"]
+    # no-op when the policy is off
+    monkeypatch.setattr(W, "FUSED_QKV", "off")
+    assert W.fuse_decoder_qkv(dec) is dec
+
+
+def test_fused_qkv_step_exact(monkeypatch):
+    """The fused (d, 3d) projection computes the identical three products
+    (each output column is an independent dot over the same K axis), so
+    single-step logits must match the separate-projection step to
+    within bf16 tile-order noise — and argmax decisions exactly."""
+    params, cfg = _tiny_params()
+    enc = jax.random.normal(
+        jax.random.PRNGKey(7), (2, 12, cfg.n_text_state), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = _step_logits(params, cfg, params["decoder"], enc)
+    out = _step_logits(
+        params, cfg, _fuse(params["decoder"], monkeypatch), enc
+    )
+    denom = np.maximum(np.abs(ref).max(), 1.0)
+    assert np.abs(out - ref).max() / denom < 0.01
+    assert (out.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_fused_qkv_greedy_identical(monkeypatch):
+    """Greedy trajectories under fusion match the unfused decoder on the
+    hermetic tiny model (same seeds as the int8 agreement test, but the
+    bar is exact: fusion is a reassociation-free rewrite)."""
+    params, cfg = _tiny_params()
+    fdec = _fuse(params["decoder"], monkeypatch)
+    b, max_new = 4, 16
+
+    def run(dec_params, enc, prompt, p_len):
+        p = {"encoder": params["encoder"], "decoder": dec_params}
+        res = W.greedy_decode(
+            p, enc, prompt, p_len, None, cfg, cfg.n_text_head,
+            max_new_tokens=max_new,
+        )
+        return np.asarray(res.tokens)
+
+    agreements = []
+    for seed in (2, 3, 4):
+        enc = jax.random.normal(
+            jax.random.PRNGKey(seed), (b, 12, cfg.n_text_state),
+            jnp.float32,
+        ).astype(jnp.bfloat16)
+        prompt = jnp.tile(
+            jnp.array(
+                W.build_prompt(cfg, "en", without_timestamps=True),
+                jnp.int32,
+            )[None],
+            (b, 1),
+        )
+        p_len = jnp.full((b,), prompt.shape[1], jnp.int32)
+        agreements.append(
+            float((run(params["decoder"], enc, prompt, p_len)
+                   == run(fdec, enc, prompt, p_len)).mean())
+        )
+    # bf16 tile-order noise can flip near-zero-margin ties on random
+    # weights; on average trajectories must stay essentially identical
+    assert np.mean(agreements) >= 0.95, agreements
+
+
+def test_fused_qkv_composes_with_int8(monkeypatch):
+    """fuse-then-quantize yields the same per-out-channel scales as
+    quantizing the separate projections (each output column's scale is
+    independent of its neighbors)."""
+    params, _ = _tiny_params()
+    dec = params["decoder"]
+    fused_q = _quantize(_fuse(dec, monkeypatch), monkeypatch)
+    sep_q = _quantize(dec, monkeypatch)
+    ws_f = np.asarray(fused_q["blocks"]["attn"]["qkv"]["ws"], np.float32)
+    d = ws_f.shape[1] // 3
+    for i, name in enumerate(("q", "k", "v")):
+        ws_s = np.asarray(sep_q["blocks"]["attn"][name]["ws"], np.float32)
+        np.testing.assert_allclose(ws_f[:, i * d:(i + 1) * d], ws_s)
+
+
+# -- native int8 MXU path (STT_DECODER_WEIGHTS_DTYPE=int8_native) -------------
+
+
+def _quantize_native(dec, monkeypatch):
+    monkeypatch.setattr(W, "DECODER_WEIGHTS_DTYPE", "int8_native")
+    monkeypatch.setattr(W, "_W8_NATIVE", True)
+    return W.quantize_decoder_weights(dec, jnp.bfloat16)
+
+
+def test_int8_native_step_close(monkeypatch):
+    """int8_native adds dynamic per-row activation quantization on top of
+    the int8 weight storage; single-step logits stay within a modest
+    bound of bf16 (the promotion bar is the real-weights parity gate,
+    same as int8)."""
+    params, cfg = _tiny_params()
+    enc = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 12, cfg.n_text_state), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = _step_logits(params, cfg, params["decoder"], enc)
+    qdec = _quantize_native(params["decoder"], monkeypatch)
+    out = _step_logits(params, cfg, qdec, enc)
+    denom = np.maximum(np.abs(ref).max(), 1.0)
+    assert np.abs(out - ref).max() / denom < 0.12
+    # the int32-accumulator dot actually ran on int8 operands
+    assert qdec["blocks"]["attn"]["q"]["wq"].dtype == jnp.int8
+
+
+def test_int8_native_engine_serves(monkeypatch):
+    """End-to-end: an engine under the native policy transcribes through
+    the jitted serve program (CPU backend executes the int8 dot_general
+    path too)."""
+    monkeypatch.setenv("STT_DECODER_WEIGHTS_DTYPE", "int8_native")
+    import importlib
+
+    importlib.reload(W)
+    try:
+        from stt_tpu.engine import engine as E
+
+        importlib.reload(E)
+        eng = E.WhisperEngine(
+            "test", device="cpu", compute_type="bfloat16", max_batch=1,
+            audio_buckets_sec=(1.0,), batch_buckets=(1,),
+        )
+        eng.start()
+        try:
+            res = eng.transcribe_sync(E.DecodeRequest(
+                audio=np.zeros(16000, np.float32), language="en",
+            ))
+            assert res is not None
+        finally:
+            eng.close()
+    finally:
+        monkeypatch.delenv("STT_DECODER_WEIGHTS_DTYPE")
+        importlib.reload(W)
+        from stt_tpu.engine import engine as E
+
+        importlib.reload(E)

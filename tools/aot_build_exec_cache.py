@@ -162,6 +162,11 @@ def main() -> int:
     params_shape = jax.eval_shape(
         lambda: W.init_params(config, seed=0, dtype=dtype)
     )
+    # mirror the engine's load-time transforms (fuse THEN quantize)
+    params_shape = dict(params_shape)
+    params_shape["decoder"] = jax.eval_shape(
+        W.fuse_decoder_qkv, params_shape["decoder"]
+    )
     if W.DECODER_WEIGHTS_DTYPE not in ("bf16", ""):
         params_shape = dict(params_shape)
         # dtype is a static argument, not an abstract array — close over it
