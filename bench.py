@@ -128,10 +128,20 @@ def run_e2e_phase(args, device: str) -> dict:
     server_cfg["tpu"]["batch_buckets"] = [1, 16]
     with open(cfg_path, "w") as f:
         yaml.safe_dump(server_cfg, f)
+    # shipped model.yaml minus the beam-5 `accurate` profile: this phase
+    # only exercises the default greedy profile, and boot prewarms every
+    # profile beam x shape — dropping the unused profile keeps the boot
+    # matrix to the beam-1(+draft) programs the committed artifacts cover
+    model_cfg_path = os.path.join(tmp, "model.yaml")
+    with open(os.path.join(repo, "config", "model.yaml")) as f:
+        model_cfg = yaml.safe_load(f)
+    model_cfg["model"]["decode_profiles"].pop("accurate", None)
+    with open(model_cfg_path, "w") as f:
+        yaml.safe_dump(model_cfg, f)
     log_path = os.path.join(tmp, "server.log")
     server_cmd = [
         sys.executable, "-m", "stt_tpu.server.main",
-        "--config", cfg_path,
+        "--config", cfg_path, "--model-config", model_cfg_path,
         "--model", args.model, "--model-backend", backend,
         "--device", device, "--compute-type", args.compute_type,
         "--port", str(grpc_port), "--metrics-port", str(http_port),

@@ -8,6 +8,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 MODE="${1:-unit}"
 case "$MODE" in
+  fast)
+    # pre-commit lane: hermetic tests minus the compile-heavy `slow`
+    # marks (the full suite is ~16 min on one core; this stays < 5)
+    STT_SKIP_INTEGRATION=1 python -m pytest tests/ -q -m "not slow" ;;
   unit)
     STT_SKIP_INTEGRATION=1 python -m pytest tests/ -q ;;
   integration)
@@ -17,5 +21,5 @@ case "$MODE" in
   all)
     STT_RUN_ABUSE_TESTS=1 python -m pytest tests/ -q ;;
   *)
-    echo "usage: $0 [unit|integration|abuse|all]" >&2; exit 2 ;;
+    echo "usage: $0 [fast|unit|integration|abuse|all]" >&2; exit 2 ;;
 esac
