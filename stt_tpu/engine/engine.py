@@ -659,36 +659,48 @@ def _runtime_serialization_token() -> str:
     return _runtime_token_cache
 
 
-def exec_fingerprint(
-    dev, config, dtype, use_pallas: bool, max_decode_tokens: int = 224
-) -> str:
-    """Content-addressed key for serialized serve executables.
+def exec_runtime_token(dev) -> str:
+    """Serialization-format identity of the runtime that will (de)serialize
+    executables for ``dev``.
 
-    Embeds jax version, device platform/kind, model config, compute
-    dtype, env-traced storage policies, and the raw bytes of every
-    traced source file — a stale executable can never be loaded after a
-    code, topology, or policy change.
+    Two components:
+    - the content-addressed plugin token (``_runtime_serialization_token``:
+      sha256 of the PJRT plugin cdylib + libtpu dist version — catches a
+      plugin upgrade on disk), and
+    - the live client's ``platform_version`` string, which names the ACTIVE
+      runtime and its wire format (e.g. the axon tunnel reports
+      ``axon 0.1.0; SerializedExecutable v9; …`` while direct libtpu and the
+      deviceless topology compile client report the libtpu build). The two
+      runtimes coexist in one image with INCOMPATIBLE SerializedExecutable
+      formats — a round-5 rehearsal proved a topology-built blob fails under
+      the tunnel with "cached executable is axon format vX, this build is
+      v9" — so the file-hash token alone cannot separate them; only the
+      client actually in use can.
 
-    The platform component is normalized to ``tpu`` whenever the device
-    kind is a TPU: executables for the same chip generation are
-    interchangeable between access paths (direct libtpu, a tunneled
-    PJRT proxy like ``axon``, or a deviceless
-    ``jax.experimental.topologies`` AOT build) — which is what lets a
-    CPU-only build host pre-compile the repo's ``.exec_cache``
-    artifacts that a tunneled serving host then deserializes.
+    Devices without a live client (unit-test mocks) contribute an empty
+    platform_version, which is itself a stable identity.
     """
+    pv = getattr(getattr(dev, "client", None), "platform_version", "") or ""
+    return _runtime_serialization_token() + "|" + pv
+
+
+def exec_source_fingerprint(
+    kind_key: str, config, dtype, use_pallas: bool,
+    max_decode_tokens: int = 224,
+) -> str:
+    """Runtime-independent half of the exec fingerprint: jax version,
+    target chip kind, model config, compute dtype, env-traced policies,
+    and the raw bytes of every traced source file. Any drift here means
+    the compiled PROGRAM differs; drift in ``exec_runtime_token`` means
+    the serialized FORMAT differs. The committed-artifact guard test
+    recomputes this half on any host (no TPU runtime needed) and takes
+    the runtime half from the builder's manifest."""
     import hashlib
     from pathlib import Path
 
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
-    # PJRT runtime serialization identity (see _runtime_serialization_token:
-    # a plugin upgrade changes the SerializedExecutable wire format under an
-    # unchanged jax version — round 4's committed set was stranded that way)
-    h.update(_runtime_serialization_token().encode())
-    kind = getattr(dev, "device_kind", "")
-    platform = "tpu" if kind.startswith("TPU") else dev.platform
-    h.update(f"{platform}/{kind}".encode())
+    h.update(kind_key.encode())
     h.update(repr(tuple(sorted(config.__dict__.items())
                         if hasattr(config, "__dict__")
                         else config)).encode())
@@ -729,6 +741,46 @@ def exec_fingerprint(
             h.update((root / rel).read_bytes())
         except OSError:
             h.update(rel.encode())
+    return h.hexdigest()
+
+
+def exec_fingerprint(
+    dev, config, dtype, use_pallas: bool, max_decode_tokens: int = 224
+) -> str:
+    """Content-addressed key for serialized serve executables:
+    sha256(source half || runtime half), truncated.
+
+    The source half (``exec_source_fingerprint``) pins the compiled
+    program — traced sources, model config, dtype, policies, chip kind.
+    The runtime half (``exec_runtime_token``) pins the serialized wire
+    FORMAT — the PJRT plugin files plus the live client's
+    ``platform_version``. A stale executable can never be loaded after a
+    code, topology, policy, or runtime change.
+
+    The platform component is normalized to ``tpu`` whenever the device
+    kind is a TPU: the compiled PROGRAM for a chip generation is the
+    same through direct libtpu, a tunneled PJRT proxy like ``axon``, or
+    a deviceless ``jax.experimental.topologies`` AOT build. The
+    serialized BYTES are not: each runtime's SerializedExecutable format
+    is its own, so the runtime half separates artifacts built through
+    libtpu/topologies (loadable on direct-libtpu hosts) from artifacts
+    built through the tunnel (loadable on tunneled hosts). Build the
+    committed set with the same runtime the serving/bench host uses
+    (``tools/aot_build_exec_cache.py --runtime device`` on a tunneled
+    host; the default deviceless topology build serves direct-libtpu
+    hosts).
+    """
+    import hashlib
+
+    kind = getattr(dev, "device_kind", "")
+    platform = "tpu" if kind.startswith("TPU") else dev.platform
+    src = exec_source_fingerprint(
+        f"{platform}/{kind}", config, dtype, use_pallas, max_decode_tokens
+    )
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"|")
+    h.update(exec_runtime_token(dev).encode())
     return h.hexdigest()[:20]
 
 
@@ -946,6 +998,13 @@ class WhisperEngine:
         # on-disk executable cache) and consulted by _device_phase
         self._serve_exec: Dict[str, Any] = {}
         self._exec_fp: Optional[str] = None
+        # diagnostics: how the exec table was filled this process —
+        # deserialized from the on-disk cache vs compiled. bench.py's
+        # HIT/MISS field reads these instead of the fingerprint-dir
+        # presence check that round 5 proved can lie (a dir full of
+        # other-runtime blobs is present yet 0% loadable)
+        self.exec_cache_loads: int = 0
+        self.exec_cache_compiles: int = 0
         # per-session draft store for partial-draft verification: the
         # generated tokens of each session's newest partial (LRU-bounded;
         # a final or eviction invalidates the entry)
@@ -1418,6 +1477,8 @@ class WhisperEngine:
             (enc_key, enc_compiled), (dec_key, dec_compiled),
             (draft_key, draft_compiled),
         ):
+            if compiled is not None:
+                self.exec_cache_compiles += 1
             if compiled is not None and use_exec:
                 self._serve_exec[key] = compiled
                 self._store_exec(key, compiled)
@@ -1441,6 +1502,7 @@ class WhisperEngine:
             # local device, which breaks on multi-device hosts
             compiled = read_exec_blob(path, execution_devices=[dev])
             self._serve_exec[key] = compiled
+            self.exec_cache_loads += 1
             return compiled
         except Exception:
             # corrupt/incompatible blob: drop it and recompile

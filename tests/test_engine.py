@@ -461,19 +461,25 @@ def test_exec_fingerprint_normalizes_tpu_platforms():
 
 
 def test_committed_exec_artifacts_match_current_fingerprint():
-    """The repo-committed ``.exec_cache`` artifacts must live under the
-    fingerprint a v5e serving host computes from the CURRENT source tree
-    and default policies — the fingerprint hashes the traced source
-    files, so any edit to them strands the committed blobs (a cold
-    driver/bench host silently pays the full multi-minute compile).
-    When this fails, rebuild:  JAX_PLATFORMS=cpu python
-    tools/aot_build_exec_cache.py  and commit the new directory."""
+    """The repo-committed ``.exec_cache`` artifacts must match the CURRENT
+    source tree and default policies. The fingerprint is
+    sha256(source half || runtime half): the source half hashes the traced
+    source files (any edit strands the committed blobs — a cold
+    driver/bench host silently pays the full multi-minute compile), and
+    the runtime half names the PJRT runtime that serialized the set, which
+    a CPU test host cannot compute — the builder records it in
+    manifest.json, so this test recomputes the source half and takes the
+    runtime half from the manifest. When it fails, rebuild:
+    ``python tools/aot_build_exec_cache.py --runtime device`` on a host
+    with the serving runtime (tunnel) up — or the default deviceless
+    build for direct-libtpu deployments — and commit the new directory."""
+    import hashlib
+    import json
     from pathlib import Path
-    from types import SimpleNamespace
 
     import jax.numpy as jnp
 
-    from stt_tpu.engine.engine import exec_fingerprint
+    from stt_tpu.engine.engine import exec_source_fingerprint
     from stt_tpu.models import whisper as W
     from stt_tpu.models.whisper import get_config
 
@@ -491,21 +497,39 @@ def test_committed_exec_artifacts_match_current_fingerprint():
         overridden["AUDIO_WIRE"] = E.AUDIO_WIRE
     if overridden:
         pytest.skip(f"non-default storage policies active: {overridden}")
-    dev = SimpleNamespace(platform="tpu", device_kind="TPU v5 lite")
-    fp = exec_fingerprint(dev, get_config("small"), jnp.bfloat16, True, 224)
-    assert fp in committed, (
-        f"committed exec-cache dirs {sorted(committed)} do not include the "
-        f"current-source fingerprint {fp}; traced sources changed after the "
-        f"artifacts were built — rerun tools/aot_build_exec_cache.py"
-    )
     # size policy: ONE fingerprint dir. A stale sibling can never be loaded
-    # (its fingerprint matches no source tree) and costs ~330 MB per commit;
-    # the builder prunes them, so a leftover means a regen was committed
-    # by hand — delete the stale dir(s).
-    assert committed == {fp}, (
-        f"stale exec-cache dirs alongside {fp}: "
-        f"{sorted(committed - {fp})} — delete them (the AOT builder prunes "
-        f"these automatically; see --keep-stale)"
+    # (its fingerprint matches no source tree) and costs real MBs per
+    # commit; the builder prunes them, so a leftover means a regen was
+    # committed by hand — delete the stale dir(s).
+    assert len(committed) == 1, (
+        f"exec-cache size policy is ONE fingerprint dir, found "
+        f"{sorted(committed)} — delete the stale one(s) (the AOT builder "
+        f"prunes these automatically; see --keep-stale)"
+    )
+    fp_dir = next(iter(committed))
+    manifest_path = repo / ".exec_cache" / fp_dir / "manifest.json"
+    assert manifest_path.is_file(), (
+        f"committed artifact dir {fp_dir} has no manifest.json — rebuild "
+        f"with the current tools/aot_build_exec_cache.py"
+    )
+    manifest = json.loads(manifest_path.read_text())
+    src = exec_source_fingerprint(
+        "tpu/TPU v5 lite", get_config("small"), jnp.bfloat16, True, 224
+    )
+    assert manifest["source_fp"] == src, (
+        f"committed artifacts were built from different traced sources "
+        f"(manifest source_fp {manifest['source_fp'][:16]}… != current "
+        f"{src[:16]}…) — rerun tools/aot_build_exec_cache.py and commit "
+        f"the new directory"
+    )
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"|")
+    h.update(manifest["runtime_token"].encode())
+    assert h.hexdigest()[:20] == fp_dir == manifest["fingerprint"], (
+        f"artifact dir name {fp_dir} does not equal "
+        f"sha256(source||runtime)[:20] from its own manifest — the set is "
+        f"inconsistent; rebuild it"
     )
 
 

@@ -23,6 +23,19 @@ Every compile runs on host CPU threads; on a 1-core host expect
 minutes per serve program. Artifacts land under --out/<fingerprint>/
 and are safe to commit (integrity-hashed; stale fingerprints can never
 load).
+
+RUNTIME FORMAT: each PJRT runtime serializes executables in its OWN
+wire format, and the fingerprint's runtime half keeps them apart
+(engine.exec_runtime_token). The default deviceless topology build
+serializes through local libtpu — loadable on direct-libtpu serving
+hosts. A host that reaches its TPU through a tunneled PJRT proxy
+(axon) can only load blobs serialized by that proxy: build those with
+
+    python tools/aot_build_exec_cache.py --runtime device
+
+on a host with the tunnel up (compiles ride the persistent XLA cache,
+so a tree that was already compiled builds fast). A manifest.json in
+the fingerprint dir records which runtime built the set.
 """
 from __future__ import annotations
 
@@ -75,6 +88,14 @@ def main() -> int:
     parser.add_argument("--topology", default="v5e:1x1",
                         help="jax topology name (chip kind must match the "
                              "serving host)")
+    parser.add_argument("--runtime", choices=("topology", "device"),
+                        default="topology",
+                        help="topology: deviceless libtpu build (loads on "
+                             "direct-libtpu hosts). device: compile and "
+                             "serialize through the real attached backend "
+                             "(required for tunneled-PJRT serving hosts — "
+                             "their proxy's SerializedExecutable format is "
+                             "not libtpu's)")
     parser.add_argument("--shapes", default="10:64:1,1:1:1",
                         help="comma-separated bucket_sec:batch:beam")
     parser.add_argument("--out", default=str(
@@ -101,11 +122,31 @@ def main() -> int:
 
     import jax
 
-    # deviceless: never dial a real device (the TPU tunnel may be down —
-    # that is the point of this tool); topologies only need libtpu
-    env_plat = os.environ.get("JAX_PLATFORMS", "").strip() or "cpu"
-    if jax.config.jax_platforms != env_plat:
-        jax.config.update("jax_platforms", env_plat)
+    if args.runtime == "topology":
+        # deviceless: never dial a real device (the TPU tunnel may be down —
+        # that is the point of this mode); topologies only need libtpu
+        env_plat = os.environ.get("JAX_PLATFORMS", "").strip() or "cpu"
+        if jax.config.jax_platforms != env_plat:
+            jax.config.update("jax_platforms", env_plat)
+    else:
+        # device mode: dial whatever backend the environment provides
+        # (the tunnel on axon hosts, local libtpu otherwise) and honor an
+        # explicit JAX_PLATFORMS the way server main.py does
+        env_plat = os.environ.get("JAX_PLATFORMS", "").strip()
+        if env_plat and jax.config.jax_platforms != env_plat:
+            jax.config.update("jax_platforms", env_plat)
+        # compiles that miss the exec cache still ride the persistent XLA
+        # cache (same default dir as bench.py/server main)
+        xla_cache = os.getenv("STT_XLA_CACHE_DIR", "").strip() or os.path.join(
+            os.path.expanduser("~"), ".cache", "stt_tpu_xla")
+        if xla_cache.lower() != "off":
+            try:
+                os.makedirs(xla_cache, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", xla_cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
 
     import jax.numpy as jnp
     import numpy as np
@@ -137,12 +178,20 @@ def main() -> int:
         return 2
 
     t0 = time.monotonic()
-    topo = topologies.get_topology_desc(
-        args.topology, "tpu", chips_per_host_bounds=[1, 1, 1]
-    )
-    dev = topo.devices[0]
-    log(f"topology {args.topology}: platform={dev.platform} "
-        f"kind={dev.device_kind!r} devices={len(topo.devices)}")
+    if args.runtime == "topology":
+        topo = topologies.get_topology_desc(
+            args.topology, "tpu", chips_per_host_bounds=[1, 1, 1]
+        )
+        build_devices = list(topo.devices)
+        log(f"topology {args.topology}: platform={build_devices[0].platform} "
+            f"kind={build_devices[0].device_kind!r} "
+            f"devices={len(build_devices)}")
+    else:
+        build_devices = jax.devices()[:1]
+        log(f"device runtime: platform={build_devices[0].platform} "
+            f"kind={build_devices[0].device_kind!r} "
+            f"version={getattr(build_devices[0].client, 'platform_version', '?')!r}")
+    dev = build_devices[0]
 
     config = W.get_config(args.model)
     fp = E.exec_fingerprint(
@@ -151,9 +200,9 @@ def main() -> int:
     out_dir = Path(args.out) / fp
     log(f"fingerprint {fp} -> {out_dir}")
 
-    # abstract params: shapes/dtypes only, placed on the topology so the
-    # lowering targets the TPU compiler (init_params is jax-traceable)
-    mesh = Mesh(np.asarray(topo.devices).reshape(len(topo.devices)), ("d",))
+    # abstract params: shapes/dtypes only, placed on the build devices so
+    # the lowering targets the TPU compiler (init_params is jax-traceable)
+    mesh = Mesh(np.asarray(build_devices).reshape(len(build_devices)), ("d",))
     repl = NamedSharding(mesh, P())
 
     def with_sharding(x):
@@ -207,10 +256,42 @@ def main() -> int:
         log(f"pruned stale fingerprint dir {name}")
 
     sizes = {k: (out_dir / f"{k}.jexec").stat().st_size for k in built}
+
+    # manifest: lets the committed-artifact guard test verify the SOURCE
+    # half of the fingerprint on any host (the runtime half needs the
+    # builder's live client, which a CPU test host may not have). A second
+    # invocation into the same fingerprint dir merges its artifact list.
+    manifest_path = out_dir / "manifest.json"
+    manifest = {}
+    if manifest_path.is_file():
+        try:
+            manifest = json.loads(manifest_path.read_text())
+        except ValueError:
+            manifest = {}
+    kind = dev.device_kind
+    platform = "tpu" if kind.startswith("TPU") else dev.platform
+    manifest.update({
+        "fingerprint": fp,
+        "source_fp": E.exec_source_fingerprint(
+            f"{platform}/{kind}", config, dtype, use_pallas,
+            args.max_decode_tokens),
+        "runtime_token": E.exec_runtime_token(dev),
+        "platform_version": getattr(
+            getattr(dev, "client", None), "platform_version", ""),
+        "runtime_mode": args.runtime,
+        "device_kind": kind,
+        "model": args.model,
+        "compute_type": args.compute_type,
+        "max_decode_tokens": args.max_decode_tokens,
+    })
+    manifest.setdefault("artifacts", {}).update(sizes)
+    manifest_path.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+
     print(json.dumps({
         "fingerprint": fp,
         "out": str(out_dir),
-        "topology": args.topology,
+        "runtime": args.runtime,
+        "topology": args.topology if args.runtime == "topology" else None,
         "device_kind": dev.device_kind,
         "artifacts": sizes,
         "pruned_stale_dirs": pruned,
