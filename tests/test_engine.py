@@ -434,11 +434,12 @@ def test_prewarm_aot_mode():
 
 
 def test_exec_fingerprint_normalizes_tpu_platforms():
-    """Executables for the same TPU chip kind are interchangeable between
+    """The compiled PROGRAM for a TPU chip kind is interchangeable between
     access paths (direct libtpu, the axon tunnel proxy, a deviceless
-    topologies AOT build) — the fingerprint must agree across all three
-    so repo-committed artifacts built on a CPU-only host load on the
-    serving host (tools/aot_build_exec_cache.py)."""
+    topologies AOT build) — the fingerprint must agree across the three
+    whenever the serializing RUNTIME agrees (same client
+    platform_version), so repo-committed artifacts load on a serving
+    host of the same runtime (tools/aot_build_exec_cache.py)."""
     from types import SimpleNamespace
 
     import jax.numpy as jnp
@@ -458,6 +459,44 @@ def test_exec_fingerprint_normalizes_tpu_platforms():
         mk("tpu", "TPU v4"), config, jnp.bfloat16, True) != via_libtpu
     assert exec_fingerprint(
         mk("cpu", "cpu"), config, jnp.bfloat16, True) != via_libtpu
+
+
+def test_exec_fingerprint_separates_serialization_runtimes():
+    """Each PJRT runtime serializes executables in its OWN wire format
+    (round-5 rehearsal: a topology/libtpu-built blob fails under the axon
+    tunnel with 'cached executable is axon format vX, this build is v9'),
+    so two devices of the SAME chip kind reached through clients with
+    different platform_version strings must land in different fingerprint
+    dirs — and identical runtimes must keep colliding so artifacts stay
+    loadable."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from stt_tpu.engine.engine import exec_fingerprint, exec_runtime_token
+    from stt_tpu.models.whisper import get_config
+
+    config = get_config("test")
+
+    def mk(version):
+        return SimpleNamespace(
+            platform="tpu", device_kind="TPU v5 lite",
+            client=SimpleNamespace(platform_version=version),
+        )
+
+    axon = mk("PJRT C API\naxon 0.1.0; SerializedExecutable v9")
+    libtpu = mk("PJRT C API\nTFRT TPU v5 lite\nBuilt on Jan 12 2026")
+    libtpu2 = mk("PJRT C API\nTFRT TPU v5 lite\nBuilt on Jan 12 2026")
+    fp_axon = exec_fingerprint(axon, config, jnp.bfloat16, True)
+    fp_libtpu = exec_fingerprint(libtpu, config, jnp.bfloat16, True)
+    assert fp_axon != fp_libtpu
+    assert fp_libtpu == exec_fingerprint(libtpu2, config, jnp.bfloat16, True)
+    assert exec_runtime_token(axon) != exec_runtime_token(libtpu)
+    # a device with no live client (unit-test mocks, some topology paths)
+    # contributes a stable empty version rather than crashing
+    bare = SimpleNamespace(platform="tpu", device_kind="TPU v5 lite")
+    assert exec_fingerprint(bare, config, jnp.bfloat16, True) == \
+        exec_fingerprint(bare, config, jnp.bfloat16, True)
 
 
 def test_committed_exec_artifacts_match_current_fingerprint():
