@@ -612,7 +612,11 @@ def main() -> None:
         t0 = time.perf_counter()
         prev = [engine.submit(DecodeRequest(audio=audio, language="en"))
                 for _ in range(streams2)]
-        for _ in range(5):
+        # 8 measured rounds: a 5-round median through the tunnel caught a
+        # wobble episode in the r5 rehearsal (1577 vs the 1698-1703 a
+        # focused A/B measured minutes later); ~0.75 s/round makes the
+        # longer median cheap
+        for _ in range(8):
             nxt = [engine.submit(DecodeRequest(audio=audio, language="en"))
                    for _ in range(streams2)]
             futures.wait(prev)
