@@ -111,7 +111,27 @@ def run_e2e_phase(args, device: str) -> dict:
         return port
 
     grpc_port, http_port = free_port(), free_port()
-    boot_wait = float(os.getenv("STT_BENCH_E2E_BOOT_WAIT", "600") or 600)
+    # release this process's device client before spawning the server:
+    # two live clients on a tunneled TPU serialize against each other and
+    # can stretch the subprocess's blob loads/first-executes from ~1 s to
+    # ~40 s each (the engine phase is finished — the parent only needs
+    # the host from here on)
+    try:
+        import gc
+
+        import jax
+        from jax.extend import backend as _jax_backend
+
+        _jax_backend.clear_backends()
+        gc.collect()
+        log("e2e: released parent device client")
+    except Exception as exc:  # noqa: BLE001 - best-effort
+        log(f"e2e: could not release parent device client: {exc}")
+    # 900 s: a degraded tunnel was measured stretching a fully-artifact-
+    # backed boot (12 blob loads + weight upload + proof decode) past the
+    # old 600 s bound; the engine-phase headline is already computed and
+    # prints even if this phase times out
+    boot_wait = float(os.getenv("STT_BENCH_E2E_BOOT_WAIT", "900") or 900)
     # fake backend = hermetic smoke of the subprocess plumbing (CI/dev);
     # the driver record always uses the real jax_whisper backend
     backend = os.getenv("STT_BENCH_E2E_BACKEND", "jax_whisper")
