@@ -10,7 +10,9 @@ MODE="${1:-unit}"
 case "$MODE" in
   fast)
     # pre-commit lane: hermetic tests minus the compile-heavy `slow`
-    # marks (the full suite is ~16 min on one core; this stays < 5)
+    # marks. Wall time is dominated by XLA-CPU jit compiles, which have
+    # no persistent cache on the CPU backend, so the lane scales with
+    # cores: ~14 min on a 1-core image, minutes on a developer machine.
     STT_SKIP_INTEGRATION=1 python -m pytest tests/ -q -m "not slow" ;;
   unit)
     STT_SKIP_INTEGRATION=1 python -m pytest tests/ -q ;;
