@@ -724,7 +724,7 @@ def main() -> None:
             getattr(_cfg_d, "DEFAULT_PARTIAL_DECODE_INTERVAL_SEC", 1.5)
             or 1.5
         )
-        n_iv, warm_iv = 10, 2
+        n_iv, warm_iv = 14, 2
         rng2 = np.random.default_rng(1)
         phases = rng2.uniform(0.0, interval, args.streams)
         session_audio = [
@@ -760,12 +760,26 @@ def main() -> None:
         meas = sorted(lat for k, lat in served if k >= warm_iv)
         partial_p95_loaded = meas[int(len(meas) * 0.95) - 1]
         partial_p50_loaded = meas[len(meas) // 2]
+        # robust side-estimator: median over intervals of each interval's
+        # p95. The tunneled dev-TPU access path has multi-minute
+        # degradation episodes (27 ms-RTT proxy stalls) that put
+        # 300-700 ms tails on entire ticks — visible as interval medians
+        # rising together with the rtfx wobble — which direct-attached
+        # serving hardware does not have. The strict overall p95 above
+        # stays the recorded headline; this field separates "policy
+        # misses the SLO" from "access path had an episode".
+        iv_p95s = sorted(
+            sorted(v)[int(len(v) * 0.95) - 1]
+            for k, v in by_iv.items() if k >= warm_iv
+        )
+        partial_p95_iv_med = iv_p95s[len(iv_p95s) // 2]
         log(f"SERVED partials ({args.streams} sessions at "
             f"{interval:.1f}s cadence, random phase, trailing "
             f"{window_sec:.0f}s window): p50="
             f"{partial_p50_loaded*1000:.0f}ms "
-            f"p95={partial_p95_loaded*1000:.0f}ms over {len(meas)} "
-            f"requests / {n_iv - warm_iv} intervals")
+            f"p95={partial_p95_loaded*1000:.0f}ms "
+            f"(median per-interval p95 {partial_p95_iv_med*1000:.0f}ms) "
+            f"over {len(meas)} requests / {n_iv - warm_iv} intervals")
         if engine._draft_mode != "off":
             # drafted-partial acceptance profile rides the burst ticks AND
             # the served phase: adaptive mode measures HYPOTHETICAL
@@ -820,6 +834,9 @@ def main() -> None:
             # < 300 ms); _burst_ is the synchronized worst case
             "partial_p95_loaded_ms": round(partial_p95_loaded * 1000, 1),
             "partial_p50_loaded_ms": round(partial_p50_loaded * 1000, 1),
+            # median of per-interval p95s: robust to the tunneled access
+            # path's transient stall episodes (see the SERVED phase note)
+            "partial_p95_iv_median_ms": round(partial_p95_iv_med * 1000, 1),
             "partial_burst_p95_ms": round(partial_p95_burst * 1000, 1),
             "partial_window_sec": window_sec,
             "partial_interval_sec": interval,
